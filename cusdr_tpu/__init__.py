@@ -9,4 +9,10 @@ least-squares PVT.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Tracking-loop phase accumulators carry float64 scalars (survey §7 hard
+# part 2: fractional-phase arithmetic); per-sample arrays stay float32.
+_jax.config.update("jax_enable_x64", True)
+
 from .config import ReceiverConfig, get_config, PRESETS  # noqa: F401

@@ -1,0 +1,289 @@
+"""Batched PCPS (parallel code-phase search) acquisition, TPU-first.
+
+Reference semantics: GPS/GPS_L1CA/include/acquisition.m — per-PRN FFT
+circular correlation over Doppler bins with non-coherent accumulation, GLRT
+peak metric (acquisition.m:155-200), then a fine-frequency stage via long
+coherent integration with bit-edge/secondary-code hypothesis search
+(acquisition.m:203-260).
+
+TPU redesign (not a port):
+  * the Doppler-mixed signal FFT is computed ONCE for all PRNs
+    (the reference recomputes it per PRN: acquisition.m:167-191);
+  * all (PRN × Doppler × non-coherent) work is one jitted program —
+    `lax.scan` over PRNs, batched FFTs over [bins, blocks, samples];
+  * joint multi-component acquisition (data+pilot envelope sums with ICD
+    power weights) is a weighted reduction over a components axis,
+    generalizing GAL_E1C/include/acquisition.m:195 and
+    BDS/B1C/include/acquisition.m:213-214;
+  * FDMA (GLONASS) folds the per-channel carrier offset into the Doppler
+    grid per PRN slot (GLO_GL1/include/acquisition.m:181-182).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..signals.defs import SignalDef, sample_code
+
+
+@dataclass
+class AcquisitionResult:
+    """Per-PRN acquisition outputs (mirrors acqResults struct,
+    acquisition.m:128-134)."""
+    prns: np.ndarray           # PRN (or FDMA channel) ids searched
+    carr_freq: np.ndarray      # detected carrier freq [Hz] (0 if none)
+    code_phase: np.ndarray     # sample offset of code start (0-based)
+    peak_metric: np.ndarray    # GLRT statistic peak/σ/N_noncoh
+    detected: np.ndarray       # bool mask (metric > threshold)
+    coarse_freq: np.ndarray    # coarse-stage bin freq [Hz]
+
+    def best_channels(self, n: int):
+        """PRNs sorted by peak metric, detected first (preRun.m:60-72)."""
+        order = np.argsort(-self.peak_metric)
+        order = [i for i in order if self.detected[i]][:n]
+        return [(int(self.prns[i]), float(self.carr_freq[i]),
+                 int(self.code_phase[i])) for i in order]
+
+
+# --------------------------------------------------------------------------
+# Coarse stage
+# --------------------------------------------------------------------------
+
+def _mixed_fft(slabs, f_grid, ts):
+    """FFT of the Doppler-mixed signal: [n_bins, n_noncoh, nfft]."""
+    nfft = slabs.shape[-1]
+    n = jnp.arange(nfft, dtype=jnp.float32)
+    phase = (2.0 * jnp.pi * ts) * f_grid[:, None] * n[None, :]
+    carrier = jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
+    mixed = slabs[None, :, :] * carrier[:, None, :]
+    return jnp.fft.fft(mixed, axis=-1)
+
+
+def _corr_peak(mixed_fft, cfftc, weights, n_comp):
+    """Envelope-summed correlation peak for one PRN.
+
+    mixed_fft: [n_bins, n_noncoh, nfft]; cfftc: [n_comp, nfft].
+    Returns (peak, bin, phase).
+    """
+    nfft = mixed_fft.shape[-1]
+    acc = jnp.zeros((mixed_fft.shape[0], nfft), jnp.float32)
+    for c in range(n_comp):
+        prod = mixed_fft * cfftc[c][None, None, :]
+        acc = acc + weights[c] * jnp.abs(
+            jnp.fft.ifft(prod, axis=-1)).sum(axis=1)
+    flat = acc.reshape(-1)
+    k = jnp.argmax(flat)
+    return flat[k], k // nfft, k % nfft
+
+
+@functools.partial(jax.jit, static_argnames=("n_noncoh", "n_comp"))
+def _pcps_cdma_kernel(slabs, code_fft_conj, weights, f_grid, ts,
+                      n_noncoh: int, n_comp: int):
+    """CDMA PCPS: the mixed-signal FFT is computed ONCE and shared by all
+    PRNs (the reference recomputes it per PRN: acquisition.m:167-191).
+
+    slabs [n_noncoh, nfft]; code_fft_conj [n_prn, n_comp, nfft];
+    f_grid [n_bins].  Returns (peak, bin, phase) each [n_prn].
+    """
+    mf = _mixed_fft(slabs, f_grid, ts)
+
+    def one_prn(carry, cfftc):
+        return carry, _corr_peak(mf, cfftc, weights, n_comp)
+
+    _, out = jax.lax.scan(one_prn, 0, code_fft_conj)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("n_noncoh", "n_comp"))
+def _pcps_fdma_kernel(slabs, code_fft_conj, weights, freqs, ts,
+                      n_noncoh: int, n_comp: int):
+    """FDMA PCPS (GLONASS): one shared code, per-channel carrier grids
+    (GLO_GL1/include/acquisition.m:181-182).
+
+    freqs [n_chan, n_bins]; code_fft_conj [1, n_comp, nfft] (shared).
+    """
+    def one_chan(carry, f_grid):
+        mf = _mixed_fft(slabs, f_grid, ts)
+        return carry, _corr_peak(mf, code_fft_conj[0], weights, n_comp)
+
+    _, out = jax.lax.scan(one_chan, 0, freqs)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Fine stage
+# --------------------------------------------------------------------------
+
+@jax.jit
+def _fine_kernel(sig, code_replica, freqs, hyp, ts):
+    """Fine-frequency search by long coherent integration.
+
+    sig:          [n_codes * spc] complex64 starting at the code edge
+    code_replica: [n_codes * spc] float32 (±1 sampled replica)
+    freqs:        [n_fine] float32 candidate carrier frequencies
+    hyp:          [n_hyp, n_codes] float32 — coherent-combination
+                  hypotheses over per-code sums (bit-edge windows,
+                  NH/secondary-code phases; acquisition.m:235-248)
+
+    Returns power [n_fine] (max over hypotheses).
+    """
+    n_codes = hyp.shape[1]
+    spc = sig.shape[0] // n_codes
+    n = jnp.arange(sig.shape[0], dtype=jnp.float32)
+    wiped = sig * code_replica
+
+    def one_freq(f):
+        phase = (2.0 * jnp.pi * ts) * f * n
+        carrier = jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
+        sums = (wiped * carrier).reshape(n_codes, spc).sum(axis=1)
+        powers = jnp.abs(hyp.astype(sums.dtype) @ sums)
+        return jnp.max(powers)
+
+    return jax.vmap(one_freq)(freqs)
+
+
+def _bit_edge_hypotheses(n_codes: int, window: int) -> np.ndarray:
+    """Sliding all-ones windows: nav-bit-edge search
+    (acquisition.m:240-248)."""
+    n_hyp = n_codes - window + 1
+    H = np.zeros((n_hyp, n_codes), np.float32)
+    for k in range(n_hyp):
+        H[k, k:k + window] = 1.0
+    return H
+
+
+def _secondary_hypotheses(secondary: np.ndarray, n_codes: int) -> np.ndarray:
+    """All circular shifts of a secondary code, tiled to n_codes
+    (GPS_L5C/include/acquisition.m:241-275)."""
+    m = len(secondary)
+    reps = int(np.ceil(n_codes / m))
+    H = np.zeros((m, n_codes), np.float32)
+    for k in range(m):
+        H[k] = np.tile(np.roll(secondary, k), reps)[:n_codes]
+    return H
+
+
+# --------------------------------------------------------------------------
+# Public API
+# --------------------------------------------------------------------------
+
+def acquire(cfg, sig: SignalDef, samples: np.ndarray,
+            prn_list: Optional[Sequence[int]] = None,
+            fine_n_codes: Optional[int] = None) -> AcquisitionResult:
+    """Run coarse+fine acquisition over ``prn_list``.
+
+    samples: complex IF samples; needs at least
+    (acq_non_coh_time + 1 + fine_n_codes) code periods.
+    """
+    prns = np.asarray(list(prn_list if prn_list is not None
+                           else cfg.acq_satellite_list))
+    spc = cfg.samples_per_code
+    nfft = 2 * spc
+    noncoh = cfg.acq_non_coh_time
+    fs = cfg.sampling_freq
+    ts = np.float32(1.0 / fs)
+
+    # ---- build signal slabs [noncoh, 2*spc] (acquisition.m:175-178) -------
+    assert len(samples) >= (noncoh + 1) * spc, \
+        f"need {(noncoh + 1) * spc} samples, got {len(samples)}"
+    idx = (np.arange(noncoh)[:, None] * spc
+           + np.arange(nfft)[None, :])
+    slabs = np.asarray(samples, np.complex64)[idx]
+
+    # ---- code FFT tables [n_prn, n_comp, nfft] ----------------------------
+    comps = sig.acq_code_fns()
+    n_comp = len(comps)
+    weights = np.asarray(sig.acq_weights[:n_comp], np.float32)
+    code_fft = np.empty((len(prns), n_comp, nfft), np.complex64)
+    for i, prn in enumerate(prns):
+        for c, fn in enumerate(comps):
+            table = sample_code(fn(int(prn)) if not sig.fdma
+                                else fn(0), sig.elements_per_chip,
+                                sig.chip_rate_hz, fs, spc)
+            padded = np.concatenate([table.astype(np.float32),
+                                     np.zeros(spc, np.float32)])
+            code_fft[i, c] = np.conj(np.fft.fft(padded))
+
+    # ---- Doppler grid per PRN (descending: acquisition.m:169-170) ---------
+    band, step = cfg.acq_search_band, cfg.acq_search_step
+    n_bins = cfg.num_freq_bins
+    base = (cfg.if_freq + band - step * np.arange(n_bins)).astype(np.float32)
+    if sig.fdma:
+        # GLONASS: 'PRN' is the frequency channel K
+        # (GLO_GL1/include/acquisition.m:181-182)
+        offs = (prns * sig.fdma_spacing_hz).astype(np.float32)
+        freqs = base[None, :] + offs[:, None]
+        freqs = np.ascontiguousarray(freqs)
+        peak, bin_idx, phase_idx = _pcps_fdma_kernel(
+            jnp.asarray(slabs), jnp.asarray(code_fft[:1]),
+            jnp.asarray(weights), jnp.asarray(freqs), ts,
+            n_noncoh=noncoh, n_comp=n_comp)
+    else:
+        freqs = np.broadcast_to(base, (len(prns), n_bins))
+        peak, bin_idx, phase_idx = _pcps_cdma_kernel(
+            jnp.asarray(slabs), jnp.asarray(code_fft),
+            jnp.asarray(weights), jnp.asarray(base), ts,
+            n_noncoh=noncoh, n_comp=n_comp)
+    peak = np.asarray(peak)
+    bin_idx = np.asarray(bin_idx)
+    phase_idx = np.asarray(phase_idx)
+
+    # ---- GLRT statistic (acquisition.m:150-151,200) -----------------------
+    sig_power = np.sqrt(np.var(np.asarray(samples[:spc])) * spc)
+    metric = peak / sig_power / noncoh
+    # weighted components change the envelope scale; normalize so the
+    # threshold semantics stay comparable to single-component GLRT
+    metric = metric / weights.sum()
+    detected = metric > cfg.acq_threshold
+
+    coarse_freq = freqs[np.arange(len(prns)), bin_idx]
+
+    # ---- fine frequency stage (acquisition.m:203-260) ---------------------
+    n_codes = fine_n_codes or max(
+        40 // max(int(round(sig.code_period_ms)), 1), 4)
+    carr_freq = np.zeros(len(prns))
+    code_phase = np.zeros(len(prns), np.int64)
+    fine_step = cfg.fine_search_step
+    n_fine = int(round(cfg.acq_search_step / fine_step)) + 1
+
+    # hypothesis matrix: nav-bit-edge windows over half the span
+    nav_codes = max(int(round(sig.nav_symbol_ms / sig.code_period_ms)), 1)
+    if nav_codes > 1:
+        H = _bit_edge_hypotheses(n_codes, min(nav_codes, n_codes // 2))
+    else:
+        H = np.ones((1, n_codes), np.float32)
+
+    for i, prn in enumerate(prns):
+        if not detected[i]:
+            continue
+        cp = int(phase_idx[i])
+        need = cp + n_codes * spc
+        if need > len(samples):
+            cp = cp - spc  # fall back one code period
+        seg = np.asarray(samples[cp:cp + n_codes * spc], np.complex64)
+        code_fn = sig.data_code if not sig.fdma else (lambda p:
+                                                      sig.data_code(0))
+        replica = sample_code(code_fn(int(prn)), sig.elements_per_chip,
+                              sig.chip_rate_hz, fs,
+                              n_codes * spc).astype(np.float32)
+        fine_freqs = (coarse_freq[i] + cfg.acq_search_step / 2
+                      - fine_step * np.arange(n_fine)).astype(np.float32)
+        powers = np.asarray(_fine_kernel(jnp.asarray(seg),
+                                         jnp.asarray(replica),
+                                         jnp.asarray(fine_freqs),
+                                         jnp.asarray(H), ts))
+        carr_freq[i] = fine_freqs[int(np.argmax(powers))]
+        if carr_freq[i] == 0.0:
+            carr_freq[i] = 1.0   # acquisition.m:257-260
+        code_phase[i] = int(phase_idx[i])
+
+    return AcquisitionResult(
+        prns=prns, carr_freq=carr_freq, code_phase=code_phase,
+        peak_metric=np.asarray(metric), detected=np.asarray(detected),
+        coarse_freq=np.asarray(coarse_freq))

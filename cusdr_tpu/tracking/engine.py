@@ -1,0 +1,360 @@
+"""Vectorized channel-bank tracking engine, TPU-first.
+
+Reference semantics: GPS/GPS_L1CA/include/tracking.m — per-channel,
+per-code-period closed loop: variable-size sample block (tracking.m:219-222),
+E/P/L code lookup by ceil-index (:252-270), carrier NCO with residual phase
+(:280-287), six correlator sums (:295-300), atan Costas PLL + E−L envelope
+DLL with 2nd-order loop filters (:305-335).
+
+TPU redesign (not a port):
+  * the sequential for-loop over channels × milliseconds becomes ONE jitted
+    `lax.scan` over epochs with `vmap` over channels — a whole superblock of
+    IF samples is resident on device as raw int8 and each channel
+    dynamic-slices its own window per epoch;
+  * the variable `blksize` is normalized to a fixed padded block with a
+    validity mask; loop state (remCodePhase/remCarrPhase/NCOs) is carried in
+    float64 scalars while the per-sample arrays stay float32;
+  * one epoch == one primary-code period for every signal (all reference
+    receivers integrate over exactly one code period: 1 ms L1CA/L5/E5,
+    4 ms E1C, 10 ms B1C, 20 ms L2C);
+  * data+pilot channels add three pilot correlators with a π/2-rotated
+    carrier and averaged discriminators (tracking.m pilot paths of
+    L5C/E5a/E1C, survey §2.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..signals.defs import SignalDef
+from .loop_filters import calc_loop_coef
+from .cno import cno_vsm
+
+_TWO_PI = 2.0 * np.pi
+
+
+@dataclass(frozen=True)
+class TrackParams:
+    """Static (hashable) tracking parameters — jit specialization key."""
+    fs: float
+    code_len: int               # chips per code period
+    elements_per_chip: int
+    code_freq_basis: float
+    blk: int                    # padded fixed block size [samples]
+    spacing: float              # E-L correlator spacing [chips]
+    tau1_code: float
+    tau2_code: float
+    tau1_carr: float
+    tau2_carr: float
+    pdi: float                  # integration time [s]
+    has_pilot: bool = False
+
+
+class ChannelState(NamedTuple):
+    """Per-channel loop state (the carry of tracking.m:160-181), [C]."""
+    carr_freq: jnp.ndarray          # f64 [Hz]
+    carr_freq_basis: jnp.ndarray    # f64 [Hz]
+    code_freq: jnp.ndarray          # f64 [Hz]
+    rem_code_phase: jnp.ndarray     # f64 [chips]
+    rem_carr_phase: jnp.ndarray     # f64 [rad]
+    carr_nco: jnp.ndarray           # f64
+    carr_err: jnp.ndarray           # f64
+    code_nco: jnp.ndarray           # f64
+    code_err: jnp.ndarray           # f64
+    abs_sample: jnp.ndarray         # i64 — sample index of epoch start
+
+
+class TrackOutputs(NamedTuple):
+    """Per-epoch outputs [n_epochs, C] (trackResults fields,
+    tracking.m:45-83)."""
+    i_e: jnp.ndarray
+    q_e: jnp.ndarray
+    i_p: jnp.ndarray
+    q_p: jnp.ndarray
+    i_l: jnp.ndarray
+    q_l: jnp.ndarray
+    pilot_ip: jnp.ndarray
+    pilot_qp: jnp.ndarray
+    carr_freq: jnp.ndarray
+    code_freq: jnp.ndarray
+    dll_discr: jnp.ndarray
+    dll_filt: jnp.ndarray
+    pll_discr: jnp.ndarray
+    pll_filt: jnp.ndarray
+    rem_code_phase: jnp.ndarray
+    rem_carr_phase: jnp.ndarray
+    abs_sample: jnp.ndarray
+    blksize: jnp.ndarray
+
+
+def init_channel_state(channels: Sequence, code_freq_basis: float
+                       ) -> ChannelState:
+    """channels: iterable of (prn, acquired_carr_freq, code_phase_samples).
+
+    Mirrors tracking.m:160-181 initialization; abs_sample starts at the
+    acquired code phase (tracking.m:145-153 fseek).
+    """
+    c = len(channels)
+    carr = np.asarray([ch[1] for ch in channels], np.float64)
+    phase = np.asarray([ch[2] for ch in channels], np.int64)
+    z = np.zeros(c, np.float64)
+    return ChannelState(
+        carr_freq=jnp.asarray(carr),
+        carr_freq_basis=jnp.asarray(carr),
+        code_freq=jnp.asarray(np.full(c, code_freq_basis)),
+        rem_code_phase=jnp.asarray(z),
+        rem_carr_phase=jnp.asarray(z),
+        carr_nco=jnp.asarray(z), carr_err=jnp.asarray(z),
+        code_nco=jnp.asarray(z), code_err=jnp.asarray(z),
+        abs_sample=jnp.asarray(phase))
+
+
+def _epoch_one_channel(samples_iq, sb_start, code_table, pilot_table,
+                       st, p: TrackParams):
+    """Track one epoch (one code period) for one channel.
+
+    samples_iq: [2S] int8 interleaved I/Q (device-resident superblock)
+    code_table/pilot_table: [E] int8 code elements
+    st: per-channel scalar slice of ChannelState
+    """
+    epc = p.elements_per_chip
+    n_elem = p.code_len * epc
+
+    code_phase_step = st.code_freq / p.fs          # f64 chips/sample
+    blksize = jnp.ceil((p.code_len - st.rem_code_phase)
+                       / code_phase_step).astype(jnp.int32)
+    blksize = jnp.minimum(blksize, p.blk)
+
+    # ---- fetch raw samples (tracking.m:226-236) ---------------------------
+    off = 2 * (st.abs_sample - sb_start)
+    raw = jax.lax.dynamic_slice(samples_iq, (off,), (2 * p.blk,))
+    sig_i = raw[0::2].astype(jnp.float32)
+    sig_q = raw[1::2].astype(jnp.float32)
+
+    n = jnp.arange(p.blk, dtype=jnp.float32)
+    mask = n < blksize.astype(jnp.float32)
+
+    # ---- E/P/L code elements by ceil-index (tracking.m:252-270) -----------
+    tcode = (jnp.float32(st.rem_code_phase)
+             + n * jnp.float32(code_phase_step))
+
+    def chips(offset_chips):
+        idx = jnp.ceil((tcode + offset_chips) * epc).astype(jnp.int32) - 1
+        return code_table[jnp.mod(idx, n_elem)].astype(jnp.float32)
+
+    early = chips(jnp.float32(-p.spacing))
+    prompt = chips(jnp.float32(0.0))
+    late = chips(jnp.float32(p.spacing))
+
+    # ---- carrier wipe-off (tracking.m:280-291) ----------------------------
+    inc = _TWO_PI * st.carr_freq / p.fs            # f64 rad/sample
+    phase = jnp.mod(st.rem_carr_phase
+                    + inc * jnp.arange(p.blk, dtype=jnp.float64),
+                    _TWO_PI).astype(jnp.float32)
+    cosw = jnp.cos(phase)
+    sinw = jnp.sin(phase)
+    # exp(-j·phase) · (I + jQ)
+    bb_i = (sig_i * cosw + sig_q * sinw) * mask
+    bb_q = (sig_q * cosw - sig_i * sinw) * mask
+
+    # ---- six correlators (tracking.m:295-300) -----------------------------
+    codes = jnp.stack([early, prompt, late])       # [3, blk]
+    bb = jnp.stack([bb_i, bb_q], axis=1)           # [blk, 2]
+    sums = jnp.dot(codes, bb, preferred_element_type=jnp.float32)  # [3, 2]
+    i_e, q_e = sums[0, 0], sums[0, 1]
+    i_p, q_p = sums[1, 0], sums[1, 1]
+    i_l, q_l = sums[2, 0], sums[2, 1]
+
+    if p.has_pilot:
+        # pilot correlators with π/2-rotated carrier
+        # (GPS_L5C/include/tracking.m:334-345)
+        pidx = jnp.ceil(tcode * epc).astype(jnp.int32) - 1
+        pprompt = pilot_table[jnp.mod(pidx, n_elem)].astype(jnp.float32)
+
+        def pchips(offset_chips):
+            idx = jnp.ceil((tcode + offset_chips) * epc).astype(
+                jnp.int32) - 1
+            return pilot_table[jnp.mod(idx, n_elem)].astype(jnp.float32)
+
+        pearly, plate = pchips(jnp.float32(-p.spacing)), \
+            pchips(jnp.float32(p.spacing))
+        # rotate: exp(-j(phase - π/2))·s = j·[exp(-j·phase)·s]
+        pb_i, pb_q = -bb_q, bb_i
+        pcodes = jnp.stack([pearly, pprompt, plate])
+        pbb = jnp.stack([pb_i, pb_q], axis=1)
+        psums = jnp.dot(pcodes, pbb, preferred_element_type=jnp.float32)
+        pi_e, pq_e = psums[0, 0], psums[0, 1]
+        pi_p, pq_p = psums[1, 0], psums[1, 1]
+        pi_l, pq_l = psums[2, 0], psums[2, 1]
+    else:
+        pi_p = jnp.float32(0.0)
+        pq_p = jnp.float32(0.0)
+
+    # ---- phase carries (tracking.m:273,283) -------------------------------
+    bsf = blksize.astype(jnp.float64)
+    rem_code = (st.rem_code_phase + bsf * code_phase_step) - p.code_len
+    rem_carr = jnp.mod(st.rem_carr_phase + inc * bsf, _TWO_PI)
+
+    # ---- PLL: atan Costas + 2nd-order filter (tracking.m:305-317) ---------
+    eps = jnp.float32(1e-12)
+    carr_err = jnp.arctan(q_p / (i_p + eps)) / _TWO_PI
+    if p.has_pilot:
+        pcarr = jnp.arctan(pq_p / (pi_p + eps)) / _TWO_PI
+        carr_err = 0.5 * (carr_err + pcarr)
+    carr_err = carr_err.astype(jnp.float64)
+    carr_nco = (st.carr_nco
+                + (p.tau2_carr / p.tau1_carr) * (carr_err - st.carr_err)
+                + carr_err * (p.pdi / p.tau1_carr))
+    carr_freq = st.carr_freq_basis + carr_nco
+
+    # ---- DLL: E−L envelope + 2nd-order filter (tracking.m:322-335) --------
+    env_e = jnp.sqrt(i_e * i_e + q_e * q_e)
+    env_l = jnp.sqrt(i_l * i_l + q_l * q_l)
+    if p.has_pilot:
+        env_e = env_e + jnp.sqrt(pi_e * pi_e + pq_e * pq_e)
+        env_l = env_l + jnp.sqrt(pi_l * pi_l + pq_l * pq_l)
+    code_err = ((env_e - env_l) / (env_e + env_l + eps)).astype(jnp.float64)
+    code_nco = (st.code_nco
+                + (p.tau2_code / p.tau1_code) * (code_err - st.code_err)
+                + code_err * (p.pdi / p.tau1_code))
+    code_freq = p.code_freq_basis - code_nco
+
+    new_state = ChannelState(
+        carr_freq=carr_freq, carr_freq_basis=st.carr_freq_basis,
+        code_freq=code_freq, rem_code_phase=rem_code,
+        rem_carr_phase=rem_carr,
+        carr_nco=carr_nco, carr_err=carr_err,
+        code_nco=code_nco, code_err=code_err,
+        abs_sample=st.abs_sample + blksize.astype(jnp.int64))
+
+    out = TrackOutputs(
+        i_e=i_e, q_e=q_e, i_p=i_p, q_p=q_p, i_l=i_l, q_l=q_l,
+        pilot_ip=pi_p, pilot_qp=pq_p,
+        carr_freq=st.carr_freq.astype(jnp.float64),
+        code_freq=st.code_freq.astype(jnp.float64),
+        dll_discr=code_err.astype(jnp.float32),
+        dll_filt=code_nco.astype(jnp.float32),
+        pll_discr=carr_err.astype(jnp.float32),
+        pll_filt=carr_nco.astype(jnp.float32),
+        rem_code_phase=st.rem_code_phase,
+        rem_carr_phase=st.rem_carr_phase,
+        abs_sample=st.abs_sample, blksize=blksize)
+    return new_state, out
+
+
+@functools.partial(jax.jit, static_argnames=("params", "n_epochs"))
+def track_superblock(samples_iq, sb_start, code_tables, pilot_tables,
+                     state: ChannelState, params: TrackParams,
+                     n_epochs: int):
+    """Track all channels through ``n_epochs`` code periods.
+
+    samples_iq: [2S] int8 interleaved I/Q superblock on device
+    sb_start:   absolute sample index of samples_iq[0]
+    code_tables/pilot_tables: [C, E] int8 element tables
+    Returns (new_state, TrackOutputs with [n_epochs, C] leaves).
+    """
+    vm = jax.vmap(_epoch_one_channel,
+                  in_axes=(None, None, 0, 0, 0, None))
+
+    def step(st, _):
+        return vm(samples_iq, sb_start, code_tables, pilot_tables, st,
+                  params)
+
+    return jax.lax.scan(step, state, None, length=n_epochs)
+
+
+# --------------------------------------------------------------------------
+# Host orchestration
+# --------------------------------------------------------------------------
+
+class TrackResults:
+    """Per-channel tracking results (numpy), mirroring trackResults."""
+
+    def __init__(self, prns, outputs: dict, cfg):
+        self.prns = prns
+        for k, v in outputs.items():
+            setattr(self, k, v)
+        self.cno = {}
+        vsm = cfg.cno.vsm_interval_ms
+        n_epochs = self.i_p.shape[1]
+        for c in range(len(prns)):
+            vals = []
+            for s in range(0, n_epochs - vsm + 1, vsm):
+                vals.append(cno_vsm(self.i_p[c, s:s + vsm],
+                                    self.q_p[c, s:s + vsm],
+                                    cfg.cno.acc_time_s))
+            self.cno[c] = np.asarray(vals)
+
+
+def make_track_params(cfg, sig: SignalDef) -> TrackParams:
+    t1c, t2c = calc_loop_coef(cfg.dll_noise_bandwidth,
+                              cfg.dll_damping_ratio, 1.0)
+    t1p, t2p = calc_loop_coef(cfg.pll_noise_bandwidth,
+                              cfg.pll_damping_ratio, 0.25)
+    spc = cfg.samples_per_code
+    return TrackParams(
+        fs=cfg.sampling_freq, code_len=sig.code_length_chips,
+        elements_per_chip=sig.elements_per_chip,
+        code_freq_basis=sig.chip_rate_hz,
+        blk=spc + cfg.track_block_pad,
+        spacing=cfg.dll_correlator_spacing,
+        tau1_code=t1c, tau2_code=t2c, tau1_carr=t1p, tau2_carr=t2p,
+        pdi=cfg.int_time,
+        has_pilot=cfg.pilot_trk_flag > 0 and sig.pilot_code is not None)
+
+
+def track(cfg, sig: SignalDef, samples_iq: np.ndarray,
+          channels: Sequence, n_epochs: Optional[int] = None,
+          superblock_epochs: Optional[int] = None) -> TrackResults:
+    """Host driver: stage superblocks, run the jitted engine, collect
+    results.
+
+    samples_iq: int8 interleaved I/Q for the whole record
+    channels: [(prn, acquired_carr_freq, code_phase_samples)]
+    """
+    params = make_track_params(cfg, sig)
+    spc = cfg.samples_per_code
+    total_samples = len(samples_iq) // 2
+    max_phase = max(ch[2] for ch in channels)
+    if n_epochs is None:
+        n_epochs = int((total_samples - max_phase - 2 * spc) // spc)
+    sb_epochs = superblock_epochs or min(
+        n_epochs, max(int(cfg.superblock_ms / sig.code_period_ms), 1))
+
+    # code element tables [C, E]
+    fdma = sig.fdma
+    ctabs = np.stack([
+        (sig.data_code(0 if fdma else int(ch[0]))) for ch in channels])
+    if params.has_pilot:
+        ptabs = np.stack([sig.pilot_code(int(ch[0])) for ch in channels])
+    else:
+        ptabs = np.zeros_like(ctabs)
+    ctabs_d = jnp.asarray(ctabs)
+    ptabs_d = jnp.asarray(ptabs)
+
+    state = init_channel_state(channels, sig.chip_rate_hz)
+    chunks = []
+    done = 0
+    while done < n_epochs:
+        cur = min(sb_epochs, n_epochs - done)
+        sb_start = int(np.min(np.asarray(state.abs_sample)))
+        sb_len = max_phase - sb_start + (cur + 3) * spc + params.blk
+        sb_len = min(sb_len, total_samples - sb_start)
+        sb = jnp.asarray(samples_iq[2 * sb_start:2 * (sb_start + sb_len)])
+        state, outs = track_superblock(
+            sb, jnp.int64(sb_start), ctabs_d, ptabs_d, state, params, cur)
+        chunks.append(jax.tree.map(np.asarray, outs))
+        done += cur
+        max_phase = int(np.max(np.asarray(state.abs_sample)))
+
+    merged = {}
+    for fieldname in TrackOutputs._fields:
+        merged[fieldname] = np.concatenate(
+            [getattr(c, fieldname) for c in chunks], axis=0).T  # [C, E]
+    return TrackResults([ch[0] for ch in channels], merged, cfg)

@@ -1,9 +1,14 @@
-"""Test configuration: force CPU backend with an 8-device virtual mesh so
-multi-chip sharding paths are exercised without TPU hardware."""
+"""Test configuration: force the CPU backend with an 8-device virtual mesh
+so multi-chip sharding paths are exercised without TPU hardware.
+
+Note: the environment may pre-register a TPU PJRT plugin (JAX_PLATFORMS=axon
+via sitecustomize); overriding jax.config after import is what actually
+forces CPU here.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,4 +16,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
