@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Headline benchmark: GPS L1 C/A acquisition + 12-channel tracking
+throughput on one TPU chip.
+
+Workload mirrors the reference default (GPS/GPS_L1CA/initSettings.m:44-105):
+18 Msps complex IF, 32-PRN x 29-Doppler-bin x 20 ms non-coherent PCPS
+acquisition, then 12-channel DLL/PLL tracking.  Metric is IF
+samples/sec/chip for the combined pipeline (BASELINE.json), with
+vs_baseline = ratio to real-time (18 Msps: a receiver below 1.0 cannot keep
+up with its own antenna).
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cusdr_tpu import get_config
+    from cusdr_tpu.signals.defs import get_signal, sample_code
+    from cusdr_tpu.acquisition.pcps import _pcps_cdma_kernel
+    from cusdr_tpu.tracking.engine import (init_channel_state,
+                                           make_track_params,
+                                           track_superblock)
+
+    cfg = get_config("gps_l1ca")      # 18 Msps, 12 channels, 20 ms noncoh
+    sig = get_signal("gps_l1ca")
+    spc = cfg.samples_per_code        # 18000
+    nfft = 2 * spc
+    noncoh = cfg.acq_non_coh_time
+    rng = np.random.default_rng(0)
+
+    # ---------------- acquisition workload --------------------------------
+    slabs = (rng.standard_normal((noncoh, nfft)).astype(np.float32)
+             + 1j * rng.standard_normal((noncoh, nfft)).astype(np.float32))
+    prns = list(cfg.acq_satellite_list)
+    code_fft = np.stack([
+        np.conj(np.fft.fft(np.concatenate([
+            sample_code(sig.data_code(p), 1, sig.chip_rate_hz,
+                        cfg.sampling_freq, spc).astype(np.float32),
+            np.zeros(spc, np.float32)])))[None, :]
+        for p in prns]).astype(np.complex64)
+    f_grid = (cfg.if_freq + cfg.acq_search_band
+              - cfg.acq_search_step
+              * np.arange(cfg.num_freq_bins)).astype(np.float32)
+    ts = np.float32(1.0 / cfg.sampling_freq)
+
+    args = (jnp.asarray(slabs), jnp.asarray(code_fft),
+            jnp.ones(1, jnp.float32), jnp.asarray(f_grid), ts)
+
+    # NOTE: on remote/tunneled TPU backends block_until_ready() can return
+    # before the device work completes; synchronize by fetching the small
+    # outputs to host (adds one ~25 ms round-trip, measured separately).
+    def run_acq():
+        peak, b, ph = _pcps_cdma_kernel(*args, n_noncoh=noncoh, n_comp=1)
+        return np.asarray(peak)
+
+    run_acq()                          # compile
+    t0 = time.perf_counter()
+    run_acq()
+    t_acq = time.perf_counter() - t0
+    grid_points = len(prns) * cfg.num_freq_bins * nfft * noncoh
+
+    # ---------------- tracking workload -----------------------------------
+    n_epochs = 2000                    # 2 s of signal per timed run
+    n_channels = cfg.num_channels
+    params = make_track_params(cfg, sig)
+    n_samples = (n_epochs + 4) * spc
+    samples = rng.integers(-16, 16, 2 * n_samples).astype(np.int8)
+    channels = [(1 + k, cfg.if_freq + 500.0 * (k - 6), k * 1499)
+                for k in range(n_channels)]
+    ctabs = jnp.asarray(np.stack([sig.data_code(p) for p, _, _ in
+                                  channels]))
+    ptabs = jnp.zeros_like(ctabs)
+    state = init_channel_state(channels, sig.chip_rate_hz)
+    samples_d = jnp.asarray(samples)
+
+    def run_track():
+        st, outs = track_superblock(samples_d, jnp.int64(0), ctabs, ptabs,
+                                    state, params, n_epochs)
+        return np.asarray(st.carr_freq)   # small fetch = real sync
+
+    run_track()                        # compile
+    t0 = time.perf_counter()
+    run_track()
+    t_track = time.perf_counter() - t0
+
+    # ---------------- combined metric --------------------------------------
+    track_rate = n_epochs * spc / t_track            # samples/s
+    total_samples = 60.0 * cfg.sampling_freq         # 60 s record
+    t_total = t_acq + total_samples / track_rate
+    samples_per_sec = total_samples / t_total
+    rt_factor = samples_per_sec / cfg.sampling_freq
+
+    print(json.dumps({
+        "metric": "IF samples/sec/chip (acq + 12-ch tracking)",
+        "value": round(samples_per_sec, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(rt_factor, 3),
+        "detail": {
+            "acq_time_s": round(t_acq, 4),
+            "acq_grid_points_per_s": round(grid_points / t_acq, 1),
+            "track_samples_per_s": round(track_rate, 1),
+            "realtime_factor": round(rt_factor, 3),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,26 +65,31 @@ def _mixed_fft(slabs, f_grid, ts):
     return jnp.fft.fft(mixed, axis=-1)
 
 
-def _corr_peak(mixed_fft, cfftc, weights, n_comp):
+def _corr_peak(mixed_fft, cfftc, weights, n_comp, search_len=None):
     """Envelope-summed correlation peak for one PRN.
 
     mixed_fft: [n_bins, n_noncoh, nfft]; cfftc: [n_comp, nfft].
-    Returns (peak, bin, phase).
+    The FFT length is padded to a power of two (TPU FFT constraint +
+    speed); only the first ``search_len`` lags (= 2 code periods, the
+    reference's search span, acquisition.m:160-162) are scanned for the
+    peak.  Returns (peak, bin, phase).
     """
     nfft = mixed_fft.shape[-1]
-    acc = jnp.zeros((mixed_fft.shape[0], nfft), jnp.float32)
+    search = nfft if search_len is None else search_len
+    acc = jnp.zeros((mixed_fft.shape[0], search), jnp.float32)
     for c in range(n_comp):
         prod = mixed_fft * cfftc[c][None, None, :]
         acc = acc + weights[c] * jnp.abs(
-            jnp.fft.ifft(prod, axis=-1)).sum(axis=1)
+            jnp.fft.ifft(prod, axis=-1)[..., :search]).sum(axis=1)
     flat = acc.reshape(-1)
     k = jnp.argmax(flat)
-    return flat[k], k // nfft, k % nfft
+    return flat[k], k // search, k % search
 
 
-@functools.partial(jax.jit, static_argnames=("n_noncoh", "n_comp"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_noncoh", "n_comp", "search_len"))
 def _pcps_cdma_kernel(slabs, code_fft_conj, weights, f_grid, ts,
-                      n_noncoh: int, n_comp: int):
+                      n_noncoh: int, n_comp: int, search_len: int):
     """CDMA PCPS: the mixed-signal FFT is computed ONCE and shared by all
     PRNs (the reference recomputes it per PRN: acquisition.m:167-191).
 
@@ -94,15 +99,16 @@ def _pcps_cdma_kernel(slabs, code_fft_conj, weights, f_grid, ts,
     mf = _mixed_fft(slabs, f_grid, ts)
 
     def one_prn(carry, cfftc):
-        return carry, _corr_peak(mf, cfftc, weights, n_comp)
+        return carry, _corr_peak(mf, cfftc, weights, n_comp, search_len)
 
     _, out = jax.lax.scan(one_prn, 0, code_fft_conj)
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("n_noncoh", "n_comp"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_noncoh", "n_comp", "search_len"))
 def _pcps_fdma_kernel(slabs, code_fft_conj, weights, freqs, ts,
-                      n_noncoh: int, n_comp: int):
+                      n_noncoh: int, n_comp: int, search_len: int):
     """FDMA PCPS (GLONASS): one shared code, per-channel carrier grids
     (GLO_GL1/include/acquisition.m:181-182).
 
@@ -110,7 +116,8 @@ def _pcps_fdma_kernel(slabs, code_fft_conj, weights, freqs, ts,
     """
     def one_chan(carry, f_grid):
         mf = _mixed_fft(slabs, f_grid, ts)
-        return carry, _corr_peak(mf, code_fft_conj[0], weights, n_comp)
+        return carry, _corr_peak(mf, code_fft_conj[0], weights, n_comp,
+                                 search_len)
 
     _, out = jax.lax.scan(one_chan, 0, freqs)
     return out
@@ -184,7 +191,11 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
     prns = np.asarray(list(prn_list if prn_list is not None
                            else cfg.acq_satellite_list))
     spc = cfg.samples_per_code
-    nfft = 2 * spc
+    # FFT length: next power of two >= 2 code periods (pow2 keeps the TPU
+    # FFT path fast/supported; peak search stays on the reference's
+    # 2-code-period span)
+    search_len = 2 * spc
+    nfft = 1 << (search_len - 1).bit_length()
     noncoh = cfg.acq_non_coh_time
     fs = cfg.sampling_freq
     ts = np.float32(1.0 / fs)
@@ -193,8 +204,9 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
     assert len(samples) >= (noncoh + 1) * spc, \
         f"need {(noncoh + 1) * spc} samples, got {len(samples)}"
     idx = (np.arange(noncoh)[:, None] * spc
-           + np.arange(nfft)[None, :])
-    slabs = np.asarray(samples, np.complex64)[idx]
+           + np.arange(search_len)[None, :])
+    slabs = np.zeros((noncoh, nfft), np.complex64)
+    slabs[:, :search_len] = np.asarray(samples, np.complex64)[idx]
 
     # ---- code FFT tables [n_prn, n_comp, nfft] ----------------------------
     comps = sig.acq_code_fns()
@@ -206,8 +218,8 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
             table = sample_code(fn(int(prn)) if not sig.fdma
                                 else fn(0), sig.elements_per_chip,
                                 sig.chip_rate_hz, fs, spc)
-            padded = np.concatenate([table.astype(np.float32),
-                                     np.zeros(spc, np.float32)])
+            padded = np.zeros(nfft, np.float32)
+            padded[:spc] = table.astype(np.float32)
             code_fft[i, c] = np.conj(np.fft.fft(padded))
 
     # ---- Doppler grid per PRN (descending: acquisition.m:169-170) ---------
@@ -223,13 +235,13 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
         peak, bin_idx, phase_idx = _pcps_fdma_kernel(
             jnp.asarray(slabs), jnp.asarray(code_fft[:1]),
             jnp.asarray(weights), jnp.asarray(freqs), ts,
-            n_noncoh=noncoh, n_comp=n_comp)
+            n_noncoh=noncoh, n_comp=n_comp, search_len=search_len)
     else:
         freqs = np.broadcast_to(base, (len(prns), n_bins))
         peak, bin_idx, phase_idx = _pcps_cdma_kernel(
             jnp.asarray(slabs), jnp.asarray(code_fft),
             jnp.asarray(weights), jnp.asarray(base), ts,
-            n_noncoh=noncoh, n_comp=n_comp)
+            n_noncoh=noncoh, n_comp=n_comp, search_len=search_len)
     peak = np.asarray(peak)
     bin_idx = np.asarray(bin_idx)
     phase_idx = np.asarray(phase_idx)

@@ -26,6 +26,7 @@ class SynthSV:
     prn: int
     code_phase: float = 0.0     # delay of code start, in samples at t=0
     doppler_hz: float = 0.0     # carrier Doppler [Hz]
+    doppler_rate: float = 0.0   # carrier Doppler rate [Hz/s] (geometry)
     cn0_dbhz: float = 45.0
     carrier_phase: float = 0.0  # initial carrier phase [rad]
     nav_bits: Optional[np.ndarray] = None   # ±1 at nav_symbol_ms rate
@@ -81,18 +82,26 @@ def synthesize_if(cfg, sig: SignalDef, svs: Sequence[SynthSV],
         for sv in svs:
             amp = np.sqrt(10 ** (sv.cn0_dbhz / 10.0) * 2 * noise_std ** 2
                           / fs)
-            # code Doppler: chip rate scales with carrier Doppler
+            # code Doppler: chip rate scales with carrier Doppler (+rate)
             code_freq = sig.chip_rate_hz * (
                 1.0 + sv.doppler_hz / sig.carrier_freq_hz)
             chip_phase = (n - sv.code_phase) * (code_freq / fs)
+            if sv.doppler_rate != 0.0:
+                chip_phase = chip_phase + (0.5 * sig.chip_rate_hz
+                                           * sv.doppler_rate
+                                           / sig.carrier_freq_hz) * t * t
             # clamp the pre-start region to chip 0 so it holds the first chip
             chip_phase = np.maximum(chip_phase, 0.0)
 
             carrier_hz = cfg.if_freq + sv.doppler_hz
             if sig.fdma:
                 carrier_hz += sig.fdma_spacing_hz * sv.fdma_channel
-            carrier = np.exp(1j * (2 * np.pi * carrier_hz * t
-                                   + sv.carrier_phase)).astype(np.complex64)
+            theta = (2 * np.pi * carrier_hz) * t + sv.carrier_phase
+            if sv.doppler_rate != 0.0:
+                theta = theta + (np.pi * sv.doppler_rate) * t * t
+            theta32 = np.mod(theta, 2 * np.pi).astype(np.float32)
+            carrier = (np.cos(theta32)
+                       + 1j * np.sin(theta32)).astype(np.complex64)
 
             data_elems = sig.data_code(sv.prn)
             data_vals = _component(sig, sv, chip_phase, data_elems,

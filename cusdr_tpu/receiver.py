@@ -1,0 +1,212 @@
+"""End-to-end receiver pipeline: acquisition → tracking → nav decode → PVT.
+
+Behavioral equivalent of the reference driver scripts
+(GPS/GPS_L1CA/include/postProcessing.m and postNavigation.m), orchestrating
+the TPU engines and the host-side nav/PVT stack.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .acquisition import acquire
+from .config import ReceiverConfig, get_config
+from .constants import SPEED_OF_LIGHT
+from .geodesy.transforms import cart2geo, cart2utm, find_utm_zone
+from .io.ingest import read_if_file
+from .nav import lnav
+from .nav.bits import find_preamble
+from .orbits.kepler import sat_positions
+from .pvt.lsq import least_square_pos
+from .pvt.pseudorange import calculate_pseudoranges, transmit_times
+from .signals.defs import get_signal
+from .tracking import track
+
+
+@dataclass
+class NavSolutions:
+    """Per-measurement-epoch navigation results (navSolutions struct,
+    postNavigation.m)."""
+    X: List[float] = field(default_factory=list)
+    Y: List[float] = field(default_factory=list)
+    Z: List[float] = field(default_factory=list)
+    dt: List[float] = field(default_factory=list)
+    latitude: List[float] = field(default_factory=list)
+    longitude: List[float] = field(default_factory=list)
+    height: List[float] = field(default_factory=list)
+    E: List[float] = field(default_factory=list)
+    N: List[float] = field(default_factory=list)
+    U: List[float] = field(default_factory=list)
+    dop: List[np.ndarray] = field(default_factory=list)
+    local_time: List[float] = field(default_factory=list)
+    curr_meas_sample: List[int] = field(default_factory=list)
+    el: List[np.ndarray] = field(default_factory=list)
+    az: List[np.ndarray] = field(default_factory=list)
+    utm_zone: int = 0
+
+
+def decode_nav_channel(track_res, ch: int, cfg, sig):
+    """Frame-sync + decode one channel's nav message.
+
+    Returns (eph dict or None, subframe_start_epoch, tow_seconds)
+    (NAVdecoding.m flow).
+    """
+    i_p = track_res.i_p[ch]
+    ms_per_bit = int(round(sig.nav_symbol_ms / sig.code_period_ms))
+
+    def verify(start_ms: int) -> bool:
+        # verify parity of TLM+HOW using 2 preceding bits
+        # (NAVdecoding.m:114-142)
+        seg = i_p[start_ms - 2 * ms_per_bit:
+                  start_ms + 60 * ms_per_bit]
+        if len(seg) < 62 * ms_per_bit:
+            return False
+        sums = seg.reshape(62, ms_per_bit).sum(axis=1)
+        bits = (sums > 0).astype(np.int8)
+        ok1, _ = lnav.check_word(bits[2:32], int(bits[0]), int(bits[1]))
+        ok2, _ = lnav.check_word(bits[32:62], int(bits[30]), int(bits[31]))
+        if ok1 and ok2:
+            return True
+        inv = 1 - bits
+        ok1, _ = lnav.check_word(inv[2:32], int(inv[0]), int(inv[1]))
+        ok2, _ = lnav.check_word(inv[32:62], int(inv[30]), int(inv[31]))
+        return ok1 and ok2
+
+    start = find_preamble(i_p, lnav.PREAMBLE, ms_per_bit,
+                          lnav.SUBFRAME_MS, verify)
+    if start < 0:
+        return None, -1, np.inf
+
+    # extract 1500 bits + 2 preceding for the parity chain
+    n_need = (2 + 1500) * ms_per_bit
+    seg = i_p[start - 2 * ms_per_bit: start - 2 * ms_per_bit + n_need]
+    if len(seg) < n_need:
+        return None, -1, np.inf
+    sums = seg.reshape(1502, ms_per_bit).sum(axis=1)
+    bits = (sums > 0).astype(np.int8)
+    # resolve polarity via the preamble sign (NAVdecoding preamble match)
+    pre = 2 * bits[2:10].astype(np.int8) - 1
+    if np.array_equal(pre, -lnav.PREAMBLE):
+        bits = 1 - bits
+    eph, tow = lnav.decode_frame(bits[2:], int(bits[0]), int(bits[1]))
+    if tow is None or not {1, 2, 3} <= eph["idValid"]:
+        return None, -1, np.inf
+    return eph, start, float(tow)
+
+
+def nav_solve(cfg, sig, track_res) -> Optional[NavSolutions]:
+    """postNavigation.m equivalent: decode all channels, then fix every
+    nav_sol_period_ms."""
+    n_ch = len(track_res.prns)
+    sub_start = np.full(n_ch, -1, np.int64)
+    tow = np.full(n_ch, np.inf)
+    eph_by_prn: Dict[int, dict] = {}
+    active = []
+    for ch in range(n_ch):
+        eph, start, t = decode_nav_channel(track_res, ch, cfg, sig)
+        if eph is not None and eph.get("health", 1) == 0:
+            eph_by_prn[track_res.prns[ch]] = eph
+            sub_start[ch] = start
+            tow[ch] = t
+            active.append(ch)
+    if len(active) < 4:
+        return None
+
+    sample_start = max(track_res.abs_sample[ch, sub_start[ch]]
+                       for ch in active) + 1
+    sample_end = min(track_res.abs_sample[ch, -1] for ch in active) - 1
+    step = int(cfg.sampling_freq * cfg.nav_sol_period_ms / 1000)
+    n_meas = int((sample_end - sample_start) // step)
+    if n_meas < 1:
+        return None
+
+    sol = NavSolutions()
+    local_time = np.inf
+    sat_elev = np.full(n_ch, np.inf)
+    ready = list(active)
+    for m in range(n_meas):
+        chans = [ch for ch in ready
+                 if sat_elev[ch] >= cfg.elevation_mask_deg]
+        if len(chans) < 4:
+            continue
+        meas_sample = int(sample_start + step * m)
+        tx = transmit_times(track_res, chans, sub_start, tow,
+                            meas_sample, cfg, sig)
+        raw_p, local_time = calculate_pseudoranges(tx, chans, local_time,
+                                                   cfg)
+        prns = [track_res.prns[ch] for ch in chans]
+        sat_pos, sat_clk = sat_positions([tx[ch] for ch in chans], prns,
+                                         eph_by_prn)
+        obs = raw_p[chans] + sat_clk * SPEED_OF_LIGHT
+        xyzdt, el, az, dop = least_square_pos(sat_pos, obs,
+                                              cfg.use_trop_corr)
+        if not np.all(np.isfinite(xyzdt)):
+            continue
+        for ch, e in zip(chans, el):
+            sat_elev[ch] = e
+        local_time -= xyzdt[3] / SPEED_OF_LIGHT    # postNavigation.m:234
+        sol.X.append(xyzdt[0])
+        sol.Y.append(xyzdt[1])
+        sol.Z.append(xyzdt[2])
+        sol.dt.append(0.0 if m == 0 else xyzdt[3])
+        sol.dop.append(dop)
+        sol.local_time.append(local_time)
+        sol.curr_meas_sample.append(meas_sample)
+        elv = np.full(n_ch, np.nan)
+        azv = np.full(n_ch, np.nan)
+        for ch, e, a in zip(chans, el, az):
+            elv[ch], azv[ch] = e, a
+        sol.el.append(elv)
+        sol.az.append(azv)
+        lat, lon, h = cart2geo(*xyzdt[:3], 5)
+        sol.latitude.append(lat)
+        sol.longitude.append(lon)
+        sol.height.append(h)
+        sol.utm_zone = find_utm_zone(lat, lon)
+        e_, n_, u_ = cart2utm(*xyzdt[:3], sol.utm_zone)
+        sol.E.append(e_)
+        sol.N.append(n_)
+        sol.U.append(u_)
+    return sol if sol.X else None
+
+
+@dataclass
+class ReceiverResults:
+    acq: object
+    track: object
+    nav: Optional[NavSolutions]
+    channels: list
+
+
+class Receiver:
+    """One-signal receiver front-to-back (init.m → postProcessing.m)."""
+
+    def __init__(self, cfg: ReceiverConfig):
+        self.cfg = cfg
+        self.sig = get_signal(cfg.signal)
+
+    def run(self, samples_iq: Optional[np.ndarray] = None,
+            n_epochs: Optional[int] = None) -> ReceiverResults:
+        """samples_iq: int8 interleaved I/Q; falls back to cfg.file_name."""
+        cfg = self.cfg
+        if samples_iq is None:
+            samples_iq = read_if_file(cfg.file_name, cfg)
+        spc = cfg.samples_per_code
+
+        # acquisition on the leading samples (postProcessing.m:88-100)
+        n_acq = (cfg.acq_non_coh_time + 45) * spc
+        acq_sig = (samples_iq[0:2 * n_acq:2].astype(np.float32)
+                   + 1j * samples_iq[1:2 * n_acq:2].astype(np.float32))
+        acq = acquire(cfg, self.sig, acq_sig)
+
+        channels = acq.best_channels(cfg.num_channels)
+        if not channels:
+            return ReceiverResults(acq, None, None, [])
+
+        track_res = track(cfg, self.sig, samples_iq, channels,
+                          n_epochs=n_epochs)
+        nav = nav_solve(cfg, self.sig, track_res)
+        return ReceiverResults(acq, track_res, nav, channels)
