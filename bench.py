@@ -78,7 +78,9 @@ def main():
     ctabs = jnp.asarray(np.stack([sig.data_code(p) for p, _, _ in
                                   channels]))
     ptabs = jnp.zeros_like(ctabs)
-    state = init_channel_state(channels, sig.chip_rate_hz)
+    state = init_channel_state(channels, sig.chip_rate_hz,
+                               dopplers=[c[1]-cfg.if_freq for c in channels],
+                               carrier_freq_hz=sig.carrier_freq_hz)
     samples_d = jnp.asarray(samples)
 
     def run_track():

@@ -127,8 +127,8 @@ def _pcps_fdma_kernel(slabs, code_fft_conj, weights, freqs, ts,
 # Fine stage
 # --------------------------------------------------------------------------
 
-@jax.jit
-def _fine_kernel(sig, code_replica, freqs, hyp, ts):
+@functools.partial(jax.jit, static_argnames=("envelope",))
+def _fine_kernel(sig, code_replica, freqs, hyp, ts, envelope: bool = False):
     """Fine-frequency search by long coherent integration.
 
     sig:          [n_codes * spc] complex64 starting at the code edge
@@ -136,7 +136,10 @@ def _fine_kernel(sig, code_replica, freqs, hyp, ts):
     freqs:        [n_fine] float32 candidate carrier frequencies
     hyp:          [n_hyp, n_codes] float32 — coherent-combination
                   hypotheses over per-code sums (bit-edge windows,
-                  NH/secondary-code phases; acquisition.m:235-248)
+                  NH/secondary-code phases; acquisition.m:235-248,
+                  GPS_L5C/include/acquisition.m:241-275)
+    envelope:     sum |per-code sums| instead (data-sign-insensitive fine
+                  search for long-code signals, B1C-style)
 
     Returns power [n_fine] (max over hypotheses).
     """
@@ -149,6 +152,8 @@ def _fine_kernel(sig, code_replica, freqs, hyp, ts):
         phase = (2.0 * jnp.pi * ts) * f * n
         carrier = jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
         sums = (wiped * carrier).reshape(n_codes, spc).sum(axis=1)
+        if envelope:
+            return jnp.sum(jnp.abs(sums))
         powers = jnp.abs(hyp.astype(sums.dtype) @ sums)
         return jnp.max(powers)
 
@@ -257,19 +262,49 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
     coarse_freq = freqs[np.arange(len(prns)), bin_idx]
 
     # ---- fine frequency stage (acquisition.m:203-260) ---------------------
+    # Strategy per signal class (generalizing the per-receiver variants):
+    #   * pilot with a short secondary (≤100 chips): wipe the pilot code
+    #     and try every secondary-code phase (L5C NH20, E5a CS100, E1C
+    #     CS25 — GPS_L5C/include/acquisition.m:241-275,
+    #     GAL_E5a/include/acquisition.m:229-253)
+    #   * data-only with NH secondary: same over the data component
+    #   * plain data (L1CA): sliding nav-bit-edge windows
+    #     (acquisition.m:240-248)
+    #   * long secondary (B1C 1800): data-sign-insensitive envelope fine
+    #     search (BDS/B1C/include/acquisition.m:262-263 CW-style)
     n_codes = fine_n_codes or max(
-        40 // max(int(round(sig.code_period_ms)), 1), 4)
+        int(round(40.0 / max(sig.code_period_ms, 1e-9))), 4)
     carr_freq = np.zeros(len(prns))
     code_phase = np.zeros(len(prns), np.int64)
     fine_step = cfg.fine_search_step
     n_fine = int(round(cfg.acq_search_step / fine_step)) + 1
 
-    # hypothesis matrix: nav-bit-edge windows over half the span
     nav_codes = max(int(round(sig.nav_symbol_ms / sig.code_period_ms)), 1)
-    if nav_codes > 1:
-        H = _bit_edge_hypotheses(n_codes, min(nav_codes, n_codes // 2))
-    else:
-        H = np.ones((1, n_codes), np.float32)
+
+    def fine_setup(prn: int):
+        """(code_fn, hypotheses H or None=envelope) for this PRN."""
+        psec = sig.pilot_secondary(int(prn)) \
+            if sig.pilot_secondary is not None else None
+        if sig.pilot_code is not None and psec is None:
+            # pilot with no secondary modulation: fully coherent
+            # (L2C CL, B2a pilot).  NOTE: for L2C the CL phase within its
+            # 1.5 s period is resolved separately (CL-phase search,
+            # GPS_L2C/include/acquisition.m:127-167); in this fine stage
+            # the replica starts at phase 0.
+            return sig.pilot_code, np.ones((1, n_codes), np.float32)
+        if psec is not None and len(psec) <= 100:
+            return sig.pilot_code, _secondary_hypotheses(psec, n_codes)
+        if sig.data_secondary is not None \
+                and len(sig.data_secondary) <= 100:
+            return sig.data_code, _secondary_hypotheses(
+                sig.data_secondary, n_codes)
+        if nav_codes > 1:
+            return sig.data_code, _bit_edge_hypotheses(
+                n_codes, min(nav_codes, max(n_codes // 2, 1)))
+        if nav_codes == 1 and psec is None:
+            # symbol per code period, no pilot: coherent over one code
+            return sig.data_code, np.eye(n_codes, dtype=np.float32)
+        return sig.data_code, None     # envelope mode
 
     for i, prn in enumerate(prns):
         if not detected[i]:
@@ -279,17 +314,20 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
         if need > len(samples):
             cp = cp - spc  # fall back one code period
         seg = np.asarray(samples[cp:cp + n_codes * spc], np.complex64)
-        code_fn = sig.data_code if not sig.fdma else (lambda p:
-                                                      sig.data_code(0))
-        replica = sample_code(code_fn(int(prn)), sig.elements_per_chip,
+        code_fn, H = fine_setup(int(prn))
+        elems = code_fn(0 if sig.fdma else int(prn))
+        replica = sample_code(elems, sig.elements_per_chip,
                               sig.chip_rate_hz, fs,
                               n_codes * spc).astype(np.float32)
         fine_freqs = (coarse_freq[i] + cfg.acq_search_step / 2
                       - fine_step * np.arange(n_fine)).astype(np.float32)
+        envelope = H is None
+        Hj = jnp.asarray(np.ones((1, n_codes), np.float32) if envelope
+                         else H)
         powers = np.asarray(_fine_kernel(jnp.asarray(seg),
                                          jnp.asarray(replica),
                                          jnp.asarray(fine_freqs),
-                                         jnp.asarray(H), ts))
+                                         Hj, ts, envelope=envelope))
         carr_freq[i] = fine_freqs[int(np.argmax(powers))]
         if carr_freq[i] == 0.0:
             carr_freq[i] = 1.0   # acquisition.m:257-260

@@ -54,6 +54,12 @@ class TrackParams:
     tau2_carr: float
     pdi: float                  # integration time [s]
     has_pilot: bool = False
+    data_weight: float = 0.5    # data/pilot discriminator combining
+    pilot_weight: float = 0.5   # (B1C: 11/40, 29/40 — NB_tracking.m:344)
+    pll_order: int = 2
+    pf1: float = 0.0            # 3rd-order PLL gains
+    pf2: float = 0.0            # (NB_tracking.m:347-349)
+    pf3: float = 0.0
 
 
 class ChannelState(NamedTuple):
@@ -61,12 +67,16 @@ class ChannelState(NamedTuple):
     carr_freq: jnp.ndarray          # f64 [Hz]
     carr_freq_basis: jnp.ndarray    # f64 [Hz]
     code_freq: jnp.ndarray          # f64 [Hz]
+    code_freq_basis: jnp.ndarray    # f64 [Hz] (Doppler-aided center,
+                                    # preRun.m:71-73 of the wideband rx)
     rem_code_phase: jnp.ndarray     # f64 [chips]
     rem_carr_phase: jnp.ndarray     # f64 [rad]
     carr_nco: jnp.ndarray           # f64
     carr_err: jnp.ndarray           # f64
     code_nco: jnp.ndarray           # f64
     code_err: jnp.ndarray           # f64
+    d_carr: jnp.ndarray             # f64 — 3rd-order PLL integrators
+    d2_carr: jnp.ndarray            # f64   (NB_tracking.m:347-349)
     abs_sample: jnp.ndarray         # i64 — sample index of epoch start
 
 
@@ -93,25 +103,36 @@ class TrackOutputs(NamedTuple):
     blksize: jnp.ndarray
 
 
-def init_channel_state(channels: Sequence, code_freq_basis: float
+def init_channel_state(channels: Sequence, code_freq_basis: float,
+                       dopplers=None, carrier_freq_hz: float = 0.0
                        ) -> ChannelState:
     """channels: iterable of (prn, acquired_carr_freq, code_phase_samples).
 
     Mirrors tracking.m:160-181 initialization; abs_sample starts at the
-    acquired code phase (tracking.m:145-153 fseek).
+    acquired code phase (tracking.m:145-153 fseek).  When ``dopplers``
+    (acquired carrier Doppler per channel [Hz]) and ``carrier_freq_hz``
+    are given, the per-channel code-NCO center is Doppler-aided:
+    basis·(1 + doppler/f_carrier) — the wideband receivers' init
+    (GAL_E5a/include/preRun.m:71-73).
     """
     c = len(channels)
     carr = np.asarray([ch[1] for ch in channels], np.float64)
     phase = np.asarray([ch[2] for ch in channels], np.int64)
     z = np.zeros(c, np.float64)
+    basis = np.full(c, code_freq_basis, np.float64)
+    if dopplers is not None and carrier_freq_hz > 0:
+        basis = basis * (1.0 + np.asarray(dopplers, np.float64)
+                         / carrier_freq_hz)
     return ChannelState(
         carr_freq=jnp.asarray(carr),
         carr_freq_basis=jnp.asarray(carr),
-        code_freq=jnp.asarray(np.full(c, code_freq_basis)),
+        code_freq=jnp.asarray(basis.copy()),
+        code_freq_basis=jnp.asarray(basis),
         rem_code_phase=jnp.asarray(z),
         rem_carr_phase=jnp.asarray(z),
         carr_nco=jnp.asarray(z), carr_err=jnp.asarray(z),
         code_nco=jnp.asarray(z), code_err=jnp.asarray(z),
+        d_carr=jnp.asarray(z), d2_carr=jnp.asarray(z),
         abs_sample=jnp.asarray(phase))
 
 
@@ -206,31 +227,43 @@ def _epoch_one_channel(samples_iq, sb_start, code_table, pilot_table,
     carr_err = jnp.arctan(q_p / (i_p + eps)) / _TWO_PI
     if p.has_pilot:
         pcarr = jnp.arctan(pq_p / (pi_p + eps)) / _TWO_PI
-        carr_err = 0.5 * (carr_err + pcarr)
+        carr_err = p.data_weight * carr_err + p.pilot_weight * pcarr
     carr_err = carr_err.astype(jnp.float64)
-    carr_nco = (st.carr_nco
-                + (p.tau2_carr / p.tau1_carr) * (carr_err - st.carr_err)
-                + carr_err * (p.pdi / p.tau1_carr))
+    if p.pll_order == 3:
+        # 3rd-order loop integrators (NB_tracking.m:347-349)
+        d2_carr = st.d2_carr + carr_err * p.pf3
+        d_carr = d2_carr + carr_err * p.pf2 + st.d_carr
+        carr_nco = d_carr + carr_err * p.pf1
+    else:
+        d_carr, d2_carr = st.d_carr, st.d2_carr
+        carr_nco = (st.carr_nco
+                    + (p.tau2_carr / p.tau1_carr)
+                    * (carr_err - st.carr_err)
+                    + carr_err * (p.pdi / p.tau1_carr))
     carr_freq = st.carr_freq_basis + carr_nco
 
     # ---- DLL: E−L envelope + 2nd-order filter (tracking.m:322-335) --------
     env_e = jnp.sqrt(i_e * i_e + q_e * q_e)
     env_l = jnp.sqrt(i_l * i_l + q_l * q_l)
     if p.has_pilot:
-        env_e = env_e + jnp.sqrt(pi_e * pi_e + pq_e * pq_e)
-        env_l = env_l + jnp.sqrt(pi_l * pi_l + pq_l * pq_l)
+        env_e = (p.data_weight * env_e
+                 + p.pilot_weight * jnp.sqrt(pi_e * pi_e + pq_e * pq_e))
+        env_l = (p.data_weight * env_l
+                 + p.pilot_weight * jnp.sqrt(pi_l * pi_l + pq_l * pq_l))
     code_err = ((env_e - env_l) / (env_e + env_l + eps)).astype(jnp.float64)
     code_nco = (st.code_nco
                 + (p.tau2_code / p.tau1_code) * (code_err - st.code_err)
                 + code_err * (p.pdi / p.tau1_code))
-    code_freq = p.code_freq_basis - code_nco
+    code_freq = st.code_freq_basis - code_nco
 
     new_state = ChannelState(
         carr_freq=carr_freq, carr_freq_basis=st.carr_freq_basis,
-        code_freq=code_freq, rem_code_phase=rem_code,
+        code_freq=code_freq, code_freq_basis=st.code_freq_basis,
+        rem_code_phase=rem_code,
         rem_carr_phase=rem_carr,
         carr_nco=carr_nco, carr_err=carr_err,
         code_nco=code_nco, code_err=code_err,
+        d_carr=d_carr, d2_carr=d2_carr,
         abs_sample=st.abs_sample + blksize.astype(jnp.int64))
 
     out = TrackOutputs(
@@ -293,11 +326,21 @@ class TrackResults:
 
 
 def make_track_params(cfg, sig: SignalDef) -> TrackParams:
+    from .loop_filters import calc_loop_coef_carr3
     t1c, t2c = calc_loop_coef(cfg.dll_noise_bandwidth,
                               cfg.dll_damping_ratio, 1.0)
     t1p, t2p = calc_loop_coef(cfg.pll_noise_bandwidth,
                               cfg.pll_damping_ratio, 0.25)
+    pf1, pf2, pf3 = calc_loop_coef_carr3(cfg.pll_noise_bandwidth,
+                                         cfg.int_time)
     spc = cfg.samples_per_code
+    # data/pilot combining weights: squared acquisition amplitude weights
+    # (B1C 11/40 + 29/40, NB_tracking.m:330-349; others 50/50)
+    if len(sig.acq_weights) >= 2:
+        w = np.asarray(sig.acq_weights[:2], np.float64) ** 2
+        wd, wp = (w / w.sum()).tolist()
+    else:
+        wd = wp = 0.5
     return TrackParams(
         fs=cfg.sampling_freq, code_len=sig.code_length_chips,
         elements_per_chip=sig.elements_per_chip,
@@ -306,7 +349,9 @@ def make_track_params(cfg, sig: SignalDef) -> TrackParams:
         spacing=cfg.dll_correlator_spacing,
         tau1_code=t1c, tau2_code=t2c, tau1_carr=t1p, tau2_carr=t2p,
         pdi=cfg.int_time,
-        has_pilot=cfg.pilot_trk_flag > 0 and sig.pilot_code is not None)
+        has_pilot=cfg.pilot_trk_flag > 0 and sig.pilot_code is not None,
+        data_weight=wd, pilot_weight=wp,
+        pll_order=cfg.pll_order, pf1=pf1, pf2=pf2, pf3=pf3)
 
 
 def track(cfg, sig: SignalDef, samples_iq: np.ndarray,
@@ -338,7 +383,16 @@ def track(cfg, sig: SignalDef, samples_iq: np.ndarray,
     ctabs_d = jnp.asarray(ctabs)
     ptabs_d = jnp.asarray(ptabs)
 
-    state = init_channel_state(channels, sig.chip_rate_hz)
+    # Doppler-aided code-NCO center per channel (preRun.m:71-73)
+    if_offsets = np.zeros(len(channels))
+    if sig.fdma:
+        if_offsets = np.asarray([sig.fdma_spacing_hz * ch[0]
+                                 for ch in channels])
+    dopplers = np.asarray([ch[1] for ch in channels]) \
+        - cfg.if_freq - if_offsets
+    state = init_channel_state(channels, sig.chip_rate_hz,
+                               dopplers=dopplers,
+                               carrier_freq_hz=sig.carrier_freq_hz)
     chunks = []
     done = 0
     while done < n_epochs:

@@ -25,12 +25,12 @@ def calc_loop_coef(lbw: float, zeta: float, k: float):
 def calc_loop_coef_carr3(lbw: float, integration_time: float):
     """Return (pf1, pf2, pf3) for a 3rd-order carrier loop.
 
-    Wn = 1.2·LBW; pf3 = Wn³·T²; pf2 = 2·Wn²·T; pf1 = 2·Wn
-    (calcLoopCoefCarr.m, survey §2.2).
+    Wn = LBW/0.7845; pf3 = Wn³·T²; pf2 = 1.1·Wn²·T; pf1 = 2.4·Wn
+    (Common/calcLoopCoefCarr.m of the B1C/E1C/E5 receivers).
     """
-    wn = 1.2 * lbw
+    wn = lbw / 0.7845
     t = integration_time
     pf3 = wn ** 3 * t * t
-    pf2 = 2.0 * wn * wn * t
-    pf1 = 2.0 * wn
+    pf2 = 1.1 * wn * wn * t
+    pf1 = 2.4 * wn
     return pf1, pf2, pf3
