@@ -32,20 +32,23 @@ def main():
     cfg = get_config("gps_l1ca")      # 18 Msps, 12 channels, 20 ms noncoh
     sig = get_signal("gps_l1ca")
     spc = cfg.samples_per_code        # 18000
-    nfft = 2 * spc
+    search_len = 2 * spc
+    nfft = 1 << (search_len - 1).bit_length()   # pow2 FFT (65536)
     noncoh = cfg.acq_non_coh_time
     rng = np.random.default_rng(0)
 
     # ---------------- acquisition workload --------------------------------
-    slabs = (rng.standard_normal((noncoh, nfft)).astype(np.float32)
-             + 1j * rng.standard_normal((noncoh, nfft)).astype(np.float32))
+    slabs = np.zeros((noncoh, nfft), np.complex64)
+    slabs[:, :search_len] = (
+        rng.standard_normal((noncoh, search_len)).astype(np.float32)
+        + 1j * rng.standard_normal((noncoh, search_len)).astype(np.float32))
     prns = list(cfg.acq_satellite_list)
-    code_fft = np.stack([
-        np.conj(np.fft.fft(np.concatenate([
-            sample_code(sig.data_code(p), 1, sig.chip_rate_hz,
-                        cfg.sampling_freq, spc).astype(np.float32),
-            np.zeros(spc, np.float32)])))[None, :]
-        for p in prns]).astype(np.complex64)
+    code_fft = np.zeros((len(prns), 1, nfft), np.complex64)
+    for i, p in enumerate(prns):
+        padded = np.zeros(nfft, np.float32)
+        padded[:spc] = sample_code(sig.data_code(p), 1, sig.chip_rate_hz,
+                                   cfg.sampling_freq, spc)
+        code_fft[i, 0] = np.conj(np.fft.fft(padded))
     f_grid = (cfg.if_freq + cfg.acq_search_band
               - cfg.acq_search_step
               * np.arange(cfg.num_freq_bins)).astype(np.float32)
@@ -58,7 +61,8 @@ def main():
     # before the device work completes; synchronize by fetching the small
     # outputs to host (adds one ~25 ms round-trip, measured separately).
     def run_acq():
-        peak, b, ph = _pcps_cdma_kernel(*args, n_noncoh=noncoh, n_comp=1)
+        peak, b, ph = _pcps_cdma_kernel(*args, n_noncoh=noncoh,
+                                       n_comp=1, search_len=search_len)
         return np.asarray(peak)
 
     run_acq()                          # compile
