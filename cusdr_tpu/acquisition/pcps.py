@@ -29,7 +29,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.matmul_fft import fft_mm, ifft_mm, use_matmul_fft
 from ..signals.defs import SignalDef, sample_code
+
+
+def _fft(x):
+    """Backend-adaptive FFT: XLA FFT on CPU/GPU, MXU matmul-FFT on TPU
+    backends without an FFT lowering (ops/matmul_fft.py)."""
+    return fft_mm(x) if use_matmul_fft() else jnp.fft.fft(x, axis=-1)
+
+
+def _ifft(x):
+    return ifft_mm(x) if use_matmul_fft() else jnp.fft.ifft(x, axis=-1)
 
 
 @dataclass
@@ -62,7 +73,7 @@ def _mixed_fft(slabs, f_grid, ts):
     phase = (2.0 * jnp.pi * ts) * f_grid[:, None] * n[None, :]
     carrier = jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
     mixed = slabs[None, :, :] * carrier[:, None, :]
-    return jnp.fft.fft(mixed, axis=-1)
+    return _fft(mixed)
 
 
 def _corr_peak(mixed_fft, cfftc, weights, n_comp, search_len=None):
@@ -80,7 +91,7 @@ def _corr_peak(mixed_fft, cfftc, weights, n_comp, search_len=None):
     for c in range(n_comp):
         prod = mixed_fft * cfftc[c][None, None, :]
         acc = acc + weights[c] * jnp.abs(
-            jnp.fft.ifft(prod, axis=-1)[..., :search]).sum(axis=1)
+            _ifft(prod)[..., :search]).sum(axis=1)
     flat = acc.reshape(-1)
     k = jnp.argmax(flat)
     return flat[k], k // search, k % search

@@ -46,18 +46,20 @@ def make_gps_eph(prn: int, toe: float, *, m0: float, omega0: float,
     )
 
 
-def _signal_delay(eph: dict, rx_ecef: np.ndarray, t_rx: float):
+def _signal_delay(eph: dict, rx_ecef: np.ndarray, t_rx: float,
+                  satpos_fn=None):
     """Solve τ, clk: signal received at GPS time t_rx was transmitted at
     t_tx = t_rx − τ with the satellite at its t_tx position rotated by
     ωτ (the same physics leastSquarePos.m applies via e_r_corr).
 
     Returns (tau_seconds, clk_seconds) — clk evaluated at t_tx.
     """
+    satpos_fn = satpos_fn or sat_pos_kepler
     tau = 0.075
     clk = 0.0
     for _ in range(5):
         t_tx = t_rx - tau
-        pos, clk = sat_pos_kepler(t_tx, eph)
+        pos, clk = satpos_fn(t_tx, eph)
         rng = np.linalg.norm(e_r_corr(tau, pos) - rx_ecef)
         tau = rng / SPEED_OF_LIGHT
     return tau, clk
@@ -138,6 +140,71 @@ def make_gps_scenario(cfg, sig, *, n_svs: int = 6,
     if len(svs) < n_svs:
         raise RuntimeError(f"only {len(svs)} SVs above the mask — "
                            "adjust scenario geometry")
+    return Scenario(rx_ecef=rx, rx_llh=rx_llh, tow0=tow0,
+                    frame_t0=frame_t0, svs=svs, eph_by_prn=eph_by_prn,
+                    elevations=elevations)
+
+
+def make_generic_scenario(cfg, sig, *, eph_factory, satpos_fn,
+                          nav_stream_fn, frame_period_s: float,
+                          n_svs: int = 6,
+                          rx_llh=(40.0, -105.26, 1610.0),
+                          tow0: float = 351000.0 + 2.0,
+                          duration_s: float = 40.0,
+                          cn0_dbhz: float = 46.0,
+                          min_elev_deg: float = 15.0,
+                          prn_pool=None) -> Scenario:
+    """Signal-agnostic consistent scene builder.
+
+    eph_factory(prn, toe, m0, omega0) -> eph dict
+    satpos_fn(t, eph) -> (pos, clk)  — the SAME orbit model the receiver
+      will use to solve (receiver.sat_pos_for_signal)
+    nav_stream_fn(eph, frame_t0) -> ±1 nav symbol stream starting at
+      signal time frame_t0
+    frame_period_s: nav frame repetition (30 s LNAV/D1, ...)
+    """
+    rx = np.asarray(geo2cart(*rx_llh, 5))
+    frame_t0 = (frame_period_s * np.floor(tow0 / frame_period_s)
+                - frame_period_s)
+    toe = float(np.round(tow0 / 16.0) * 16.0)
+
+    svs = []
+    eph_by_prn = {}
+    elevations = {}
+    rng = np.random.default_rng(42)
+    pool = list(prn_pool) if prn_pool is not None else list(range(1, 33))
+    for prn in pool:
+        if len(svs) >= n_svs:
+            break
+        eph = eph_factory(prn, toe,
+                          m0=float(rng.uniform(0, 2 * GPS_PI)),
+                          omega0=float(rng.uniform(0, 2 * GPS_PI)))
+        pos, _ = satpos_fn(tow0, eph)
+        _, elev, _ = topocent(rx, pos - rx)
+        if elev < min_elev_deg:
+            continue
+        ts = np.asarray([0.0, duration_s / 2.0, duration_s])
+        g = np.empty(3)
+        for k, dt in enumerate(ts):
+            tau, clk = _signal_delay(eph, rx, tow0 + dt, satpos_fn)
+            g[k] = dt + (tow0 - frame_t0) - tau + clk
+        g2 = (g[0] - 2 * g[1] + g[2]) / (2 * (duration_s / 2.0) ** 2)
+        g1 = (g[2] - g[0]) / duration_s - g2 * duration_s
+        g0 = g[0]
+
+        fc = sig.carrier_freq_hz
+        svs.append(SynthSV(
+            prn=prn, code_phase=float(-g0 * cfg.sampling_freq / g1),
+            doppler_hz=float((g1 - 1.0) * fc),
+            doppler_rate=float(2.0 * g2 * fc),
+            cn0_dbhz=cn0_dbhz,
+            carrier_phase=float(rng.uniform(0, 2 * np.pi)),
+            nav_bits=nav_stream_fn(eph, frame_t0)))
+        eph_by_prn[prn] = eph
+        elevations[prn] = float(elev)
+
+    if len(svs) < n_svs:
+        raise RuntimeError(f"only {len(svs)} SVs above the mask")
     return Scenario(rx_ecef=rx, rx_llh=rx_llh, tow0=tow0,
                     frame_t0=frame_t0, svs=svs, eph_by_prn=eph_by_prn,
                     elevations=elevations)

@@ -19,7 +19,7 @@ from .geodesy.transforms import cart2geo, cart2utm, find_utm_zone
 from .io.ingest import read_if_file
 from .nav import lnav
 from .nav.bits import find_preamble
-from .orbits.kepler import sat_positions
+from .orbits.kepler import sat_pos_kepler, sat_positions
 from .pvt.lsq import least_square_pos
 from .pvt.pseudorange import calculate_pseudoranges, transmit_times
 from .signals.defs import get_signal
@@ -97,17 +97,48 @@ def decode_nav_channel(track_res, ch: int, cfg, sig):
     return eph, start, float(tow)
 
 
+def sat_pos_for_signal(sig, transmit_time: float, eph: dict):
+    """Constellation-appropriate satellite position/clock
+    (per-receiver satpos.m variants)."""
+    from .constants import BDS_GM, BDS_OMEGA_E_DOT
+    from .orbits.cnav_kepler import (BDS_A_REF_IGSO_GEO, BDS_A_REF_MEO,
+                                     sat_pos_cnav)
+    from .orbits.glonass import sat_pos_glonass
+    codec = sig.nav_codec
+    if codec in ("lnav",):
+        return sat_pos_kepler(transmit_time, eph)
+    if codec in ("cnav", "cnav2_l5"):
+        return sat_pos_cnav(transmit_time, eph)
+    if codec in ("inav", "fnav"):
+        # Galileo: Keplerian with GTRF constants
+        return sat_pos_kepler(transmit_time, eph, gm=3.986004418e14)
+    if codec == "glonass":
+        return sat_pos_glonass(transmit_time, eph,
+                               tau_c=eph.get("tau_c", 0.0))
+    if codec == "bds_d1":
+        return sat_pos_kepler(transmit_time, eph, gm=BDS_GM,
+                              omega_e_dot=BDS_OMEGA_E_DOT)
+    if codec in ("bcnav1", "bcnav2"):
+        a_ref = BDS_A_REF_MEO if eph.get("SatType", 3) == 3 \
+            else BDS_A_REF_IGSO_GEO
+        return sat_pos_cnav(transmit_time, eph, a_ref=a_ref,
+                            gm=BDS_GM, omega_e_dot=BDS_OMEGA_E_DOT,
+                            isc_key="ISC_B1Cd")
+    raise ValueError(f"no orbit model for codec {codec}")
+
+
 def nav_solve(cfg, sig, track_res) -> Optional[NavSolutions]:
     """postNavigation.m equivalent: decode all channels, then fix every
     nav_sol_period_ms."""
+    from .nav.dispatch import decode_channel
     n_ch = len(track_res.prns)
     sub_start = np.full(n_ch, -1, np.int64)
     tow = np.full(n_ch, np.inf)
     eph_by_prn: Dict[int, dict] = {}
     active = []
     for ch in range(n_ch):
-        eph, start, t = decode_nav_channel(track_res, ch, cfg, sig)
-        if eph is not None and eph.get("health", 1) == 0:
+        eph, start, t = decode_channel(track_res, ch, cfg, sig)
+        if eph is not None and eph.get("health", 0) == 0:
             eph_by_prn[track_res.prns[ch]] = eph
             sub_start[ch] = start
             tow[ch] = t
@@ -138,8 +169,11 @@ def nav_solve(cfg, sig, track_res) -> Optional[NavSolutions]:
         raw_p, local_time = calculate_pseudoranges(tx, chans, local_time,
                                                    cfg)
         prns = [track_res.prns[ch] for ch in chans]
-        sat_pos, sat_clk = sat_positions([tx[ch] for ch in chans], prns,
-                                         eph_by_prn)
+        sat_pos = np.zeros((3, len(chans)))
+        sat_clk = np.zeros(len(chans))
+        for k, ch in enumerate(chans):
+            sat_pos[:, k], sat_clk[k] = sat_pos_for_signal(
+                sig, tx[ch], eph_by_prn[track_res.prns[ch]])
         obs = raw_p[chans] + sat_clk * SPEED_OF_LIGHT
         xyzdt, el, az, dop = least_square_pos(sat_pos, obs,
                                               cfg.use_trop_corr)
