@@ -38,23 +38,29 @@ def main():
     rng = np.random.default_rng(0)
 
     # ---------------- acquisition workload --------------------------------
-    slabs = np.zeros((noncoh, nfft), np.complex64)
-    slabs[:, :search_len] = (
-        rng.standard_normal((noncoh, search_len)).astype(np.float32)
-        + 1j * rng.standard_normal((noncoh, search_len)).astype(np.float32))
+    slabs_r = np.zeros((noncoh, nfft), np.float32)
+    slabs_i = np.zeros((noncoh, nfft), np.float32)
+    slabs_r[:, :search_len] = rng.standard_normal(
+        (noncoh, search_len)).astype(np.float32)
+    slabs_i[:, :search_len] = rng.standard_normal(
+        (noncoh, search_len)).astype(np.float32)
     prns = list(cfg.acq_satellite_list)
-    code_fft = np.zeros((len(prns), 1, nfft), np.complex64)
+    cf_r = np.zeros((len(prns), 1, nfft), np.float32)
+    cf_i = np.zeros((len(prns), 1, nfft), np.float32)
     for i, p in enumerate(prns):
         padded = np.zeros(nfft, np.float32)
         padded[:spc] = sample_code(sig.data_code(p), 1, sig.chip_rate_hz,
                                    cfg.sampling_freq, spc)
-        code_fft[i, 0] = np.conj(np.fft.fft(padded))
+        cfc = np.conj(np.fft.fft(padded))
+        cf_r[i, 0] = cfc.real
+        cf_i[i, 0] = cfc.imag
     f_grid = (cfg.if_freq + cfg.acq_search_band
               - cfg.acq_search_step
               * np.arange(cfg.num_freq_bins)).astype(np.float32)
     ts = np.float32(1.0 / cfg.sampling_freq)
 
-    args = (jnp.asarray(slabs), jnp.asarray(code_fft),
+    args = ((jnp.asarray(slabs_r), jnp.asarray(slabs_i)),
+            (jnp.asarray(cf_r), jnp.asarray(cf_i)),
             jnp.ones(1, jnp.float32), jnp.asarray(f_grid), ts)
 
     # NOTE: on remote/tunneled TPU backends block_until_ready() can return

@@ -1,0 +1,152 @@
+"""CLI driver — the init.m / postProcessing.m equivalent.
+
+Examples:
+  python -m cusdr_tpu probe  --signal gps_l1ca --file L1.bin
+  python -m cusdr_tpu run    --signal gps_l1ca --file L1.bin --out out/
+  python -m cusdr_tpu run    --signal bds_b1i  --file B1I.bin \
+         --ms 40000 --skip-acquisition out/acq.npz
+  python -m cusdr_tpu signals
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--signal", default="gps_l1ca",
+                   help="signal key (see `signals` command)")
+    p.add_argument("--file", required=True, help="IF sample file")
+    p.add_argument("--fs", type=float, help="override sampling freq [Hz]")
+    p.add_argument("--if-freq", type=float, help="override IF [Hz]")
+    p.add_argument("--ms", type=int, help="ms to process")
+    p.add_argument("--skip-bytes", type=int, default=0)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="cusdr_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("probe", help="pre-flight data checks (probeData.m)")
+    _add_common(p)
+    p.add_argument("--out", default="probe.png")
+
+    p = sub.add_parser("run", help="full pipeline (postProcessing.m)")
+    _add_common(p)
+    p.add_argument("--out", default="out", help="output directory")
+    p.add_argument("--skip-acquisition", metavar="ACQ_NPZ",
+                   help="reuse a saved acquisition checkpoint")
+    p.add_argument("--no-plots", action="store_true")
+
+    sub.add_parser("signals", help="list registered signals")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "signals":
+        from .config import PRESETS
+        from .signals.defs import REGISTRY
+        for k in sorted(PRESETS):
+            sig = REGISTRY[k]
+            print(f"{k:10s}  {sig.chip_rate_hz / 1e6:6.3f} Mcps x "
+                  f"{sig.code_length_chips:6d} chips  codec={sig.nav_codec}")
+        return 0
+
+    from .config import get_config
+    over = {}
+    if args.fs:
+        over["sampling_freq"] = args.fs
+    if args.if_freq is not None:
+        over["if_freq"] = args.if_freq
+    if args.ms:
+        over["ms_to_process"] = args.ms
+    over["skip_number_of_bytes"] = args.skip_bytes
+    over["file_name"] = args.file
+    cfg = get_config(args.signal, **over)
+
+    from .io.ingest import read_if_file
+    samples = read_if_file(args.file, cfg)
+
+    if args.cmd == "probe":
+        from .io.ingest import load_if_samples
+        from .plotting import probe_data
+        sig_samples = load_if_samples(args.file, cfg,
+                                      num_samples=int(cfg.sampling_freq
+                                                      * 0.01))
+        fig = probe_data(sig_samples, cfg)
+        fig.savefig(args.out, dpi=110)
+        print(f"probe written to {args.out}")
+        return 0
+
+    # ---- run ---------------------------------------------------------------
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    from . import checkpoint
+    from .plotting import (plot_acquisition, plot_navigation,
+                           plot_tracking, show_channel_status, sky_plot)
+    from .receiver import Receiver, nav_solve
+    from .signals.defs import get_signal
+    from .tracking import track
+
+    sig = get_signal(cfg.signal)
+    rx = Receiver(cfg)
+    t0 = time.time()
+
+    if args.skip_acquisition:
+        acq = checkpoint.load_acquisition(args.skip_acquisition)
+        print(f"acquisition reused from {args.skip_acquisition}")
+    else:
+        from .acquisition import acquire
+        spc = cfg.samples_per_code
+        n_acq = (cfg.acq_non_coh_time + 45) * spc
+        acq_sig = (samples[0:2 * n_acq:2].astype(np.float32)
+                   + 1j * samples[1:2 * n_acq:2].astype(np.float32))
+        acq = acquire(cfg, sig, acq_sig)
+        checkpoint.save_acquisition(out / "acqResults.npz", acq)
+        print(f"acquisition done in {time.time() - t0:.1f}s -> "
+              f"{out / 'acqResults.npz'}")
+
+    channels = acq.best_channels(cfg.num_channels)
+    if not channels:
+        print("no signals detected — exiting (postProcessing.m:108-117)")
+        return 1
+    print(show_channel_status(channels, acq, cfg))
+
+    t0 = time.time()
+    n_epochs = int(cfg.ms_to_process / sig.code_period_ms) \
+        if cfg.ms_to_process else None
+    trk = track(cfg, sig, samples, channels, n_epochs=n_epochs)
+    checkpoint.save_tracking(out / "trkResults.npz", trk)
+    print(f"tracking done in {time.time() - t0:.1f}s -> "
+          f"{out / 'trkResults.npz'}")
+
+    t0 = time.time()
+    nav = nav_solve(cfg, sig, trk)
+    if nav is None:
+        print("no navigation solution (too few decoded channels)")
+    else:
+        checkpoint.save_navigation(out / "navResults.npz", nav)
+        lat, lon, h = (np.mean(nav.latitude), np.mean(nav.longitude),
+                       np.mean(nav.height))
+        print(f"PVT done in {time.time() - t0:.1f}s: {len(nav.X)} fixes, "
+              f"mean lat={lat:.6f} lon={lon:.6f} h={h:.1f} m")
+
+    if not args.no_plots:
+        plot_acquisition(acq).savefig(out / "acquisition.png", dpi=110)
+        for ch in range(len(channels)):
+            plot_tracking(trk, ch, cfg).savefig(
+                out / f"tracking_ch{ch}.png", dpi=100)
+        if nav is not None:
+            plot_navigation(nav).savefig(out / "navigation.png", dpi=110)
+            sky_plot(nav, trk.prns).savefig(out / "skyplot.png", dpi=110)
+        print(f"plots written to {out}/")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

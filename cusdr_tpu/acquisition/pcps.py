@@ -29,18 +29,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.matmul_fft import fft_mm, ifft_mm, use_matmul_fft
+from ..ops.matmul_fft import fft_mm_ri, ifft_mm_ri, use_matmul_fft
 from ..signals.defs import SignalDef, sample_code
 
-
-def _fft(x):
-    """Backend-adaptive FFT: XLA FFT on CPU/GPU, MXU matmul-FFT on TPU
-    backends without an FFT lowering (ops/matmul_fft.py)."""
-    return fft_mm(x) if use_matmul_fft() else jnp.fft.fft(x, axis=-1)
+# All device math is expressed over (real, imag) float32 pairs: the
+# tunneled TPU PJRT backend has no complex64 support, and pairs lower to
+# plain MXU/VPU ops on every backend.
 
 
-def _ifft(x):
-    return ifft_mm(x) if use_matmul_fft() else jnp.fft.ifft(x, axis=-1)
+def _fft_pair(xr, xi):
+    """Backend-adaptive pair FFT: XLA FFT on CPU/GPU, MXU matmul-FFT
+    elsewhere (ops/matmul_fft.py)."""
+    if use_matmul_fft():
+        return fft_mm_ri(xr, xi, -1.0)
+    y = jnp.fft.fft(jax.lax.complex(xr, xi), axis=-1)
+    return jnp.real(y), jnp.imag(y)
+
+
+def _ifft_pair(xr, xi):
+    if use_matmul_fft():
+        return ifft_mm_ri(xr, xi)
+    y = jnp.fft.ifft(jax.lax.complex(xr, xi), axis=-1)
+    return jnp.real(y), jnp.imag(y)
 
 
 @dataclass
@@ -66,32 +76,40 @@ class AcquisitionResult:
 # Coarse stage
 # --------------------------------------------------------------------------
 
-def _mixed_fft(slabs, f_grid, ts):
-    """FFT of the Doppler-mixed signal: [n_bins, n_noncoh, nfft]."""
-    nfft = slabs.shape[-1]
+def _mixed_fft(slabs_r, slabs_i, f_grid, ts):
+    """FFT of the Doppler-mixed signal: pair of [n_bins, n_noncoh, nfft].
+
+    Mixing by e^{-jθ}: (sr + j·si)(cosθ - j·sinθ)."""
+    nfft = slabs_r.shape[-1]
     n = jnp.arange(nfft, dtype=jnp.float32)
     phase = (2.0 * jnp.pi * ts) * f_grid[:, None] * n[None, :]
-    carrier = jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
-    mixed = slabs[None, :, :] * carrier[:, None, :]
-    return _fft(mixed)
+    c = jnp.cos(phase)[:, None, :]
+    sn = jnp.sin(phase)[:, None, :]
+    mr = slabs_r[None] * c + slabs_i[None] * sn
+    mi = slabs_i[None] * c - slabs_r[None] * sn
+    return _fft_pair(mr, mi)
 
 
-def _corr_peak(mixed_fft, cfftc, weights, n_comp, search_len=None):
+def _corr_peak(mf, cfftc, weights, n_comp, search_len=None):
     """Envelope-summed correlation peak for one PRN.
 
-    mixed_fft: [n_bins, n_noncoh, nfft]; cfftc: [n_comp, nfft].
-    The FFT length is padded to a power of two (TPU FFT constraint +
-    speed); only the first ``search_len`` lags (= 2 code periods, the
-    reference's search span, acquisition.m:160-162) are scanned for the
-    peak.  Returns (peak, bin, phase).
+    mf: pair of [n_bins, n_noncoh, nfft]; cfftc: pair of [n_comp, nfft].
+    The FFT length is padded to a power of two; only the first
+    ``search_len`` lags (= 2 code periods, the reference's search span,
+    acquisition.m:160-162) are scanned for the peak.
+    Returns (peak, bin, phase).
     """
-    nfft = mixed_fft.shape[-1]
+    mfr, mfi = mf
+    cfr, cfi = cfftc
+    nfft = mfr.shape[-1]
     search = nfft if search_len is None else search_len
-    acc = jnp.zeros((mixed_fft.shape[0], search), jnp.float32)
+    acc = jnp.zeros((mfr.shape[0], search), jnp.float32)
     for c in range(n_comp):
-        prod = mixed_fft * cfftc[c][None, None, :]
-        acc = acc + weights[c] * jnp.abs(
-            _ifft(prod)[..., :search]).sum(axis=1)
+        pr = mfr * cfr[c][None, None, :] - mfi * cfi[c][None, None, :]
+        pi = mfr * cfi[c][None, None, :] + mfi * cfr[c][None, None, :]
+        ir, ii = _ifft_pair(pr, pi)
+        acc = acc + weights[c] * jnp.hypot(
+            ir[..., :search], ii[..., :search]).sum(axis=1)
     flat = acc.reshape(-1)
     k = jnp.argmax(flat)
     return flat[k], k // search, k % search
@@ -104,10 +122,11 @@ def _pcps_cdma_kernel(slabs, code_fft_conj, weights, f_grid, ts,
     """CDMA PCPS: the mixed-signal FFT is computed ONCE and shared by all
     PRNs (the reference recomputes it per PRN: acquisition.m:167-191).
 
-    slabs [n_noncoh, nfft]; code_fft_conj [n_prn, n_comp, nfft];
-    f_grid [n_bins].  Returns (peak, bin, phase) each [n_prn].
+    slabs: pair of [n_noncoh, nfft]; code_fft_conj: pair of
+    [n_prn, n_comp, nfft]; f_grid [n_bins].
+    Returns (peak, bin, phase) each [n_prn].
     """
-    mf = _mixed_fft(slabs, f_grid, ts)
+    mf = _mixed_fft(slabs[0], slabs[1], f_grid, ts)
 
     def one_prn(carry, cfftc):
         return carry, _corr_peak(mf, cfftc, weights, n_comp, search_len)
@@ -123,12 +142,14 @@ def _pcps_fdma_kernel(slabs, code_fft_conj, weights, freqs, ts,
     """FDMA PCPS (GLONASS): one shared code, per-channel carrier grids
     (GLO_GL1/include/acquisition.m:181-182).
 
-    freqs [n_chan, n_bins]; code_fft_conj [1, n_comp, nfft] (shared).
+    freqs [n_chan, n_bins]; code_fft_conj: pair of [1, n_comp, nfft]
+    (shared code).
     """
     def one_chan(carry, f_grid):
-        mf = _mixed_fft(slabs, f_grid, ts)
-        return carry, _corr_peak(mf, code_fft_conj[0], weights, n_comp,
-                                 search_len)
+        mf = _mixed_fft(slabs[0], slabs[1], f_grid, ts)
+        return carry, _corr_peak(mf, (code_fft_conj[0][0],
+                                      code_fft_conj[1][0]),
+                                 weights, n_comp, search_len)
 
     _, out = jax.lax.scan(one_chan, 0, freqs)
     return out
@@ -139,10 +160,11 @@ def _pcps_fdma_kernel(slabs, code_fft_conj, weights, freqs, ts,
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("envelope",))
-def _fine_kernel(sig, code_replica, freqs, hyp, ts, envelope: bool = False):
+def _fine_kernel(sig_r, sig_i, code_replica, freqs, hyp, ts,
+                 envelope: bool = False):
     """Fine-frequency search by long coherent integration.
 
-    sig:          [n_codes * spc] complex64 starting at the code edge
+    sig_r/sig_i:  [n_codes * spc] float32 I/Q starting at the code edge
     code_replica: [n_codes * spc] float32 (±1 sampled replica)
     freqs:        [n_fine] float32 candidate carrier frequencies
     hyp:          [n_hyp, n_codes] float32 — coherent-combination
@@ -155,18 +177,19 @@ def _fine_kernel(sig, code_replica, freqs, hyp, ts, envelope: bool = False):
     Returns power [n_fine] (max over hypotheses).
     """
     n_codes = hyp.shape[1]
-    spc = sig.shape[0] // n_codes
-    n = jnp.arange(sig.shape[0], dtype=jnp.float32)
-    wiped = sig * code_replica
+    spc = sig_r.shape[0] // n_codes
+    n = jnp.arange(sig_r.shape[0], dtype=jnp.float32)
+    wr = sig_r * code_replica
+    wi = sig_i * code_replica
 
     def one_freq(f):
         phase = (2.0 * jnp.pi * ts) * f * n
-        carrier = jax.lax.complex(jnp.cos(phase), -jnp.sin(phase))
-        sums = (wiped * carrier).reshape(n_codes, spc).sum(axis=1)
+        c, sn = jnp.cos(phase), jnp.sin(phase)
+        sr = (wr * c + wi * sn).reshape(n_codes, spc).sum(axis=1)
+        si = (wi * c - wr * sn).reshape(n_codes, spc).sum(axis=1)
         if envelope:
-            return jnp.sum(jnp.abs(sums))
-        powers = jnp.abs(hyp.astype(sums.dtype) @ sums)
-        return jnp.max(powers)
+            return jnp.sum(jnp.hypot(sr, si))
+        return jnp.max(jnp.hypot(hyp @ sr, hyp @ si))
 
     return jax.vmap(one_freq)(freqs)
 
@@ -221,14 +244,18 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
         f"need {(noncoh + 1) * spc} samples, got {len(samples)}"
     idx = (np.arange(noncoh)[:, None] * spc
            + np.arange(search_len)[None, :])
-    slabs = np.zeros((noncoh, nfft), np.complex64)
-    slabs[:, :search_len] = np.asarray(samples, np.complex64)[idx]
+    win = np.asarray(samples)[idx]
+    slabs_r = np.zeros((noncoh, nfft), np.float32)
+    slabs_i = np.zeros((noncoh, nfft), np.float32)
+    slabs_r[:, :search_len] = np.real(win)
+    slabs_i[:, :search_len] = np.imag(win)
 
     # ---- code FFT tables [n_prn, n_comp, nfft] ----------------------------
     comps = sig.acq_code_fns()
     n_comp = len(comps)
     weights = np.asarray(sig.acq_weights[:n_comp], np.float32)
-    code_fft = np.empty((len(prns), n_comp, nfft), np.complex64)
+    cf_r = np.empty((len(prns), n_comp, nfft), np.float32)
+    cf_i = np.empty((len(prns), n_comp, nfft), np.float32)
     for i, prn in enumerate(prns):
         for c, fn in enumerate(comps):
             table = sample_code(fn(int(prn)) if not sig.fdma
@@ -236,7 +263,9 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
                                 sig.chip_rate_hz, fs, spc)
             padded = np.zeros(nfft, np.float32)
             padded[:spc] = table.astype(np.float32)
-            code_fft[i, c] = np.conj(np.fft.fft(padded))
+            cfc = np.conj(np.fft.fft(padded))
+            cf_r[i, c] = cfc.real
+            cf_i[i, c] = cfc.imag
 
     # ---- Doppler grid per PRN (descending: acquisition.m:169-170) ---------
     band, step = cfg.acq_search_band, cfg.acq_search_step
@@ -249,13 +278,15 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
         freqs = base[None, :] + offs[:, None]
         freqs = np.ascontiguousarray(freqs)
         peak, bin_idx, phase_idx = _pcps_fdma_kernel(
-            jnp.asarray(slabs), jnp.asarray(code_fft[:1]),
+            (jnp.asarray(slabs_r), jnp.asarray(slabs_i)),
+            (jnp.asarray(cf_r[:1]), jnp.asarray(cf_i[:1])),
             jnp.asarray(weights), jnp.asarray(freqs), ts,
             n_noncoh=noncoh, n_comp=n_comp, search_len=search_len)
     else:
         freqs = np.broadcast_to(base, (len(prns), n_bins))
         peak, bin_idx, phase_idx = _pcps_cdma_kernel(
-            jnp.asarray(slabs), jnp.asarray(code_fft),
+            (jnp.asarray(slabs_r), jnp.asarray(slabs_i)),
+            (jnp.asarray(cf_r), jnp.asarray(cf_i)),
             jnp.asarray(weights), jnp.asarray(base), ts,
             n_noncoh=noncoh, n_comp=n_comp, search_len=search_len)
     peak = np.asarray(peak)
@@ -324,7 +355,7 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
         need = cp + n_codes * spc
         if need > len(samples):
             cp = cp - spc  # fall back one code period
-        seg = np.asarray(samples[cp:cp + n_codes * spc], np.complex64)
+        seg = np.asarray(samples[cp:cp + n_codes * spc])
         code_fn, H = fine_setup(int(prn))
         elems = code_fn(0 if sig.fdma else int(prn))
         replica = sample_code(elems, sig.elements_per_chip,
@@ -335,10 +366,11 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
         envelope = H is None
         Hj = jnp.asarray(np.ones((1, n_codes), np.float32) if envelope
                          else H)
-        powers = np.asarray(_fine_kernel(jnp.asarray(seg),
-                                         jnp.asarray(replica),
-                                         jnp.asarray(fine_freqs),
-                                         Hj, ts, envelope=envelope))
+        powers = np.asarray(_fine_kernel(
+            jnp.asarray(np.real(seg).astype(np.float32)),
+            jnp.asarray(np.imag(seg).astype(np.float32)),
+            jnp.asarray(replica), jnp.asarray(fine_freqs),
+            Hj, ts, envelope=envelope))
         carr_freq[i] = fine_freqs[int(np.argmax(powers))]
         if carr_freq[i] == 0.0:
             carr_freq[i] = 1.0   # acquisition.m:257-260

@@ -40,7 +40,7 @@ def make_gps_eph(prn: int, toe: float, *, m0: float, omega0: float,
         deltan=float(rng.uniform(3.5e-9, 5.5e-9)),
         M_0=m0, e=float(rng.uniform(0.003, 0.02)),
         sqrtA=5153.65 + float(rng.uniform(-1.0, 1.0)),
-        omega_0=omega0, omega=float(rng.uniform(0, 2 * GPS_PI)),
+        omega_0=omega0, omega=float(rng.uniform(-GPS_PI, GPS_PI)),
         omegaDot=-8.1e-9, i_0=np.radians(inc_deg),
         iDot=float(rng.uniform(-8e-10, 8e-10)),
     )
@@ -103,8 +103,8 @@ def make_gps_scenario(cfg, sig, *, n_svs: int = 6,
         prn += 1
         eph = make_gps_eph(
             prn, toe,
-            m0=float(rng.uniform(0, 2 * GPS_PI)),
-            omega0=float(rng.uniform(0, 2 * GPS_PI)))
+            m0=float(rng.uniform(-GPS_PI, GPS_PI)),
+            omega0=float(rng.uniform(-GPS_PI, GPS_PI)))
         pos, _ = sat_pos_kepler(tow0, eph)
         _, elev, _ = topocent(rx, pos - rx)
         if elev < min_elev_deg:
@@ -177,8 +177,8 @@ def make_generic_scenario(cfg, sig, *, eph_factory, satpos_fn,
         if len(svs) >= n_svs:
             break
         eph = eph_factory(prn, toe,
-                          m0=float(rng.uniform(0, 2 * GPS_PI)),
-                          omega0=float(rng.uniform(0, 2 * GPS_PI)))
+                          m0=float(rng.uniform(-GPS_PI, GPS_PI)),
+                          omega0=float(rng.uniform(-GPS_PI, GPS_PI)))
         pos, _ = satpos_fn(tow0, eph)
         _, elev, _ = topocent(rx, pos - rx)
         if elev < min_elev_deg:

@@ -70,13 +70,14 @@ def pcps_sharded(slabs, code_fft_conj, weights, f_grid, ts, n_comp: int,
     """PRN-parallel PCPS: vmap over the (sharded) PRN axis instead of the
     sequential scan used single-chip (acquisition/pcps.py).
 
-    code_fft_conj [n_prn, n_comp, nfft] should be sharded over axis 0;
+    slabs and code_fft_conj are (real, imag) float32 pairs;
+    code_fft_conj pair arrays [n_prn, n_comp, nfft] sharded over axis 0;
     slabs replicated.  Returns (peak, bin, phase) each [n_prn].
     """
     from ..acquisition.pcps import _corr_peak, _mixed_fft
-    mf = _mixed_fft(slabs, f_grid, ts)
+    mf = _mixed_fft(slabs[0], slabs[1], f_grid, ts)
 
-    def one_prn(cfftc):
-        return _corr_peak(mf, cfftc, weights, n_comp, search_len)
+    def one_prn(cfr, cfi):
+        return _corr_peak(mf, (cfr, cfi), weights, n_comp, search_len)
 
-    return jax.vmap(one_prn)(code_fft_conj)
+    return jax.vmap(one_prn)(code_fft_conj[0], code_fft_conj[1])
