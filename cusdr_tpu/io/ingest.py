@@ -15,6 +15,9 @@ import numpy as np
 def unpack_2bit_iq(raw: np.ndarray) -> np.ndarray:
     """Unpack bytes of 2-bit sign/mag I/Q pairs into interleaved int8 I/Q.
 
+    Uses the native C loader (runtime/native.c) when built; numpy
+    otherwise.
+
     Each byte holds 2 complex samples with LSB-first bit layout
     (GPS/GPS_L2C/include/unpack_cplx.m LUTs):
       bit0 = I1 sign, bit1 = Q1 sign, bit2 = I1 mag, bit3 = Q1 mag,
@@ -23,6 +26,12 @@ def unpack_2bit_iq(raw: np.ndarray) -> np.ndarray:
     Returns int8 array of length 4*len(raw) (interleaved I,Q,I,Q,...).
     """
     raw = np.asarray(raw, dtype=np.uint8)
+    try:
+        from .. import runtime
+        if runtime.available():
+            return runtime.unpack_2bit_iq(raw)
+    except Exception:
+        pass
 
     def val(sign_bit, mag_bit):
         mag = np.where((raw >> mag_bit) & 1, 3, 1).astype(np.int8)
