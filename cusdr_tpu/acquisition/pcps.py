@@ -63,6 +63,8 @@ class AcquisitionResult:
     peak_metric: np.ndarray    # GLRT statistic peak/σ/N_noncoh
     detected: np.ndarray       # bool mask (metric > threshold)
     coarse_freq: np.ndarray    # coarse-stage bin freq [Hz]
+    pilot_phase: np.ndarray | None = None   # long-pilot phase hypothesis
+                                            # (L2C CL period index)
 
     def best_channels(self, n: int):
         """PRNs sorted by peak metric, detected first (preRun.m:60-72)."""
@@ -227,6 +229,9 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
     samples: complex IF samples; needs at least
     (acq_non_coh_time + 1 + fine_n_codes) code periods.
     """
+    from .resample import maybe_resample, recover
+    samples, cfg, rs_info = maybe_resample(np.asarray(samples), cfg)
+
     prns = np.asarray(list(prn_list if prn_list is not None
                            else cfg.acq_satellite_list))
     spc = cfg.samples_per_code
@@ -348,6 +353,7 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
             return sig.data_code, np.eye(n_codes, dtype=np.float32)
         return sig.data_code, None     # envelope mode
 
+    pilot_phase = np.zeros(len(prns), np.int64)
     for i, prn in enumerate(prns):
         if not detected[i]:
             continue
@@ -375,8 +381,29 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
         if carr_freq[i] == 0.0:
             carr_freq[i] = 1.0   # acquisition.m:257-260
         code_phase[i] = int(phase_idx[i])
+        # long-pilot phase search (L2C CL: 75 direct correlations,
+        # GPS_L2C/include/acquisition.m:127-167)
+        nhyp = sig.pilot_phase_hypotheses
+        if nhyp > 1 and sig.pilot_code is not None:
+            one_code = np.asarray(samples[cp:cp + spc])
+            t = np.arange(spc) / fs
+            wiped = one_code * np.exp(-2j * np.pi * carr_freq[i] * t)
+            pilot_elems = sig.pilot_code(int(prn))
+            epc = sig.elements_per_chip
+            n_elem_period = sig.code_length_chips * epc
+            eidx = np.floor(np.arange(spc) * (sig.chip_rate_hz / fs)
+                            * epc).astype(np.int64)
+            powers_cl = np.empty(nhyp)
+            for h in range(nhyp):
+                rep = pilot_elems[(eidx + h * n_elem_period)
+                                  % len(pilot_elems)]
+                powers_cl[h] = np.abs(np.sum(wiped * rep))
+            pilot_phase[i] = int(np.argmax(powers_cl))
+        # downsampling recovery (acquisition.m:262-282)
+        code_phase[i], carr_freq[i] = recover(code_phase[i],
+                                              carr_freq[i], rs_info)
 
     return AcquisitionResult(
         prns=prns, carr_freq=carr_freq, code_phase=code_phase,
         peak_metric=np.asarray(metric), detected=np.asarray(detected),
-        coarse_freq=np.asarray(coarse_freq))
+        coarse_freq=np.asarray(coarse_freq), pilot_phase=pilot_phase)

@@ -44,6 +44,10 @@ class SignalDef:
     nav_symbol_ms: float = 20.0     # nav symbol duration in ms
     fdma: bool = False
     fdma_spacing_hz: float = 0.0
+    # pilot primary spans N data-code periods: acquisition resolves the
+    # pilot phase among N hypotheses (L2C CL: 75,
+    # GPS_L2C/include/acquisition.m:127-167)
+    pilot_phase_hypotheses: int = 0
 
     @property
     def code_period_ms(self) -> float:
@@ -73,7 +77,8 @@ REGISTRY = {
         # (generateCMcode.m / generateCLcode.m tails)
         data_code=gps.l2cm_rz, pilot_code=gps.l2cl_rz,
         elements_per_chip=2,
-        nav_codec="cnav", nav_symbol_ms=20.0),
+        nav_codec="cnav", nav_symbol_ms=20.0,
+        pilot_phase_hypotheses=75),
 
     "gps_l5c": SignalDef(
         name="gps_l5c", constellation="gps",

@@ -174,10 +174,21 @@ def _epoch_one_channel(samples_iq, sb_start, code_table, pilot_table,
     late = chips(jnp.float32(p.spacing))
 
     # ---- carrier wipe-off (tracking.m:280-291) ----------------------------
+    # Phase is carried in f64 SCALARS but the per-sample ramp is computed
+    # in f32 with a split-index trick (emulated f64 vectors are ~50x
+    # slower on TPU): n = 256*n_hi + n_lo, and both
+    # frac(256*inc) * n_hi and frac(inc) * n_lo stay small enough for
+    # f32 (worst-case phase error ~1e-5 cycles).
     inc = _TWO_PI * st.carr_freq / p.fs            # f64 rad/sample
-    phase = jnp.mod(st.rem_carr_phase
-                    + inc * jnp.arange(p.blk, dtype=jnp.float64),
-                    _TWO_PI).astype(jnp.float32)
+    inc_c = st.carr_freq / p.fs                    # f64 cycles/sample
+    step_hi = jnp.mod(inc_c * 256.0, 1.0).astype(jnp.float32)
+    step_lo = jnp.mod(inc_c, 1.0).astype(jnp.float32)
+    rem_c = jnp.mod(st.rem_carr_phase / _TWO_PI, 1.0).astype(jnp.float32)
+    n_i = jnp.arange(p.blk, dtype=jnp.int32)
+    n_hi = (n_i // 256).astype(jnp.float32)
+    n_lo = (n_i % 256).astype(jnp.float32)
+    cyc = rem_c + step_hi * n_hi + step_lo * n_lo
+    phase = (cyc - jnp.floor(cyc)) * jnp.float32(_TWO_PI)
     cosw = jnp.cos(phase)
     sinw = jnp.sin(phase)
     # exp(-j·phase) · (I + jQ)
