@@ -228,3 +228,175 @@ def decode_frame(bits1500: np.ndarray, eph: dict | None = None):
 
 def has_ephemeris(eph: dict) -> bool:
     return {1, 2, 3} <= eph.get("idValid", set())
+
+
+# ===========================================================================
+# D2 NAV (GEO, PRN 1-5, 500 bps): ephemeris split over 10 pages of
+# subframe 1 (ephemeris.m:95-220 GEO branch)
+# ===========================================================================
+
+# page -> [(name, ((start,len),...), exp, signed, factor)] with *_msb/_lsb
+# partial fields combined in finalize_d2
+_D2_PAGES = {
+    1: [("SatH1", ((47, 1),), 0, False, 1.0),
+        ("IODC", ((48, 5),), 0, False, 1.0),
+        ("URAI", ((61, 4),), 0, False, 1.0),
+        ("WN", ((65, 13),), 0, False, 1.0),
+        ("t_oc", ((78, 5), (91, 12)), 3, False, 1.0),
+        ("T_GD_1", ((103, 10),), 0, True, 1e-10)],
+    2: [("alpha0", ((47, 6), (61, 2)), -30, True, 1.0),
+        ("alpha1", ((63, 8),), -27, True, 1.0),
+        ("alpha2", ((71, 8),), -24, True, 1.0),
+        ("alpha3", ((79, 4), (91, 4)), -24, True, 1.0),
+        ("beta0", ((95, 8),), 11, True, 1.0),
+        ("beta1", ((103, 8),), 14, True, 1.0),
+        ("beta2", ((111, 2), (121, 6)), 16, True, 1.0),
+        ("beta3", ((127, 8),), 16, True, 1.0)],
+    3: [("a0", ((101, 12), (121, 12)), -33, True, 1.0),
+        ("a1_msb", ((133, 4),), 0, False, 1.0)],
+    4: [("a1_lsb", ((47, 6), (61, 12)), 0, False, 1.0),
+        ("a2", ((73, 10), (91, 1)), -66, True, 1.0),
+        ("IODE", ((92, 5),), 0, False, 1.0),
+        ("deltan", ((97, 16),), -43, True, BDS_PI),
+        ("C_uc_msb", ((121, 14),), 0, False, 1.0)],
+    5: [("C_uc_lsb", ((47, 4),), 0, False, 1.0),
+        ("M_0", ((51, 2), (61, 22), (91, 8)), -31, True, BDS_PI),
+        ("C_us", ((99, 14), (121, 4)), -31, True, 1.0),
+        ("e_msb", ((125, 10),), 0, False, 1.0)],
+    6: [("e_lsb", ((47, 6), (61, 16)), 0, False, 1.0),
+        ("sqrtA", ((77, 6), (91, 22), (121, 4)), -19, False, 1.0),
+        ("C_ic_msb", ((125, 10),), 0, False, 1.0)],
+    7: [("C_ic_lsb", ((47, 6), (61, 2)), 0, False, 1.0),
+        ("C_is", ((63, 18),), -31, True, 1.0),
+        ("t_oe", ((81, 2), (91, 15)), 3, False, 1.0),
+        ("i_0_msb", ((106, 7), (121, 14)), 0, False, 1.0)],
+    8: [("i_0_lsb", ((47, 6), (61, 5)), 0, False, 1.0),
+        ("C_rc", ((66, 17), (91, 1)), -6, True, 1.0),
+        ("C_rs", ((92, 18),), -6, True, 1.0),
+        ("omegaDot_msb", ((110, 3), (121, 16)), 0, False, 1.0)],
+    9: [("omegaDot_lsb", ((47, 5),), 0, False, 1.0),
+        ("omega_0", ((52, 1), (61, 22), (91, 9)), -31, True, BDS_PI),
+        ("omega_msb", ((100, 13), (121, 14)), 0, False, 1.0)],
+    10: [("omega_lsb", ((47, 5),), 0, False, 1.0),
+         ("iDot", ((52, 1), (61, 13)), -43, True, BDS_PI)],
+}
+
+# (msb_name, lsb_name, out_name, total_bits, exp, signed, factor)
+_D2_SPLITS = [
+    ("a1_msb", "a1_lsb", "a1", (4, 18), -50, True, 1.0),
+    ("C_uc_msb", "C_uc_lsb", "C_uc", (14, 4), -31, True, 1.0),
+    ("e_msb", "e_lsb", "e", (10, 22), -33, False, 1.0),
+    ("C_ic_msb", "C_ic_lsb", "C_ic", (10, 8), -31, True, 1.0),
+    ("i_0_msb", "i_0_lsb", "i_0", (21, 11), -31, True, BDS_PI),
+    ("omegaDot_msb", "omegaDot_lsb", "omegaDot", (19, 5), -43, True,
+     BDS_PI),
+    ("omega_msb", "omega_lsb", "omega", (27, 5), -31, True, BDS_PI),
+]
+
+
+def decode_d2_subframe(sub300: np.ndarray, eph: dict):
+    """Decode one deinterleaved D2 subframe; returns (sfid, pnum, sow)."""
+    sfid = get_bits(sub300, 16, 3)
+    sow = (get_bits(sub300, 19, 8) << 12) | get_bits(sub300, 31, 12)
+    pnum = 0
+    if sfid == 1:
+        pnum = get_bits(sub300, 43, 4)
+        for name, segs, exp, signed, factor in _D2_PAGES.get(pnum, []):
+            raw, nbits = _get_segs(sub300, segs)
+            if signed:
+                raw = _twos(raw, nbits)
+            eph[name] = raw * (2.0 ** exp) * factor
+        if pnum:
+            eph.setdefault("idValid", set()).add(100 + pnum)
+    return sfid, pnum, sow
+
+
+def finalize_d2(eph: dict) -> dict:
+    """Combine the msb/lsb split fields (ephemeris.m:196-228)."""
+    for m, l, out, (nm, nl), exp, signed, factor in _D2_SPLITS:
+        if m in eph and l in eph:
+            raw = (int(eph[m]) << nl) | int(eph[l])
+            if signed:
+                raw = _twos(raw, nm + nl)
+            eph[out] = raw * (2.0 ** exp) * factor
+    eph["a_f0"] = eph.get("a0", 0.0)
+    eph["a_f1"] = eph.get("a1", 0.0)
+    eph["a_f2"] = eph.get("a2", 0.0)
+    eph["T_GD"] = eph.get("T_GD_1", 0.0)
+    return eph
+
+
+def encode_d2_subframe(pnum: int, eph: dict, sow: int) -> np.ndarray:
+    """Build one transmitted D2 subframe-1 page (interleaved + BCH)."""
+    sub = np.zeros(300, np.uint8)
+    sub[0:11] = PREAMBLE
+    put_bits(sub, 16, 3, 1)
+    put_bits(sub, 19, 8, sow >> 12)
+    put_bits(sub, 31, 12, sow & 0xFFF)
+    put_bits(sub, 43, 4, pnum)
+    for name, segs, exp, signed, factor in _D2_PAGES.get(pnum, []):
+        nbits = sum(n for _, n in segs)
+        raw = int(round(eph.get(name, 0.0) / factor / (2.0 ** exp)))
+        if raw < 0:
+            raw += (1 << nbits)
+        pos = nbits
+        for start, n in segs:
+            pos -= n
+            put_bits(sub, start, n, (raw >> pos) & ((1 << n) - 1))
+    cw = bch15_encode(get_bits(sub, 16, 11))
+    put_bits(sub, 16, 15, cw)
+    out = sub.copy()
+    for w in range(1, 10):
+        base = 30 * w
+        d1 = get_bits(sub, base + 1, 11)
+        d2 = get_bits(sub, base + 12, 11)
+        deint = np.zeros(30, np.uint8)
+        put_bits(deint, 1, 11, d1)
+        put_bits(deint, 12, 11, d2)
+        put_bits(deint, 23, 4, bch15_encode(d1) & 0xF)
+        put_bits(deint, 27, 4, bch15_encode(d2) & 0xF)
+        out[base:base + 30] = _interleave_word(deint)
+    return out
+
+
+def decode_d2_frames(bits: np.ndarray, eph: dict | None = None):
+    """Decode consecutive transmitted D2 subframes (0.6 s each).
+
+    Returns (eph, sow_of_first_subframe)."""
+    eph = {} if eph is None else eph
+    bits = np.asarray(bits, np.uint8)
+    if np.array_equal(bits[:11], 1 - PREAMBLE):
+        bits = 1 - bits
+    elif not np.array_equal(bits[:11], PREAMBLE):
+        return eph, np.inf
+    sow_first = np.inf
+    n_sub = len(bits) // 300
+    for i in range(n_sub):
+        sub = bits[300 * i:300 * (i + 1)].copy()
+        desub = sub.copy()
+        ok = True
+        for w in range(1, 10):
+            base = 30 * w
+            desub[base:base + 30] = _deinterleave_word(sub[base:base + 30])
+            d1, ok1 = bch15_decode((get_bits(desub, base + 1, 11) << 4)
+                                   | get_bits(desub, base + 23, 4))
+            d2, ok2 = bch15_decode((get_bits(desub, base + 12, 11) << 4)
+                                   | get_bits(desub, base + 27, 4))
+            put_bits(desub, base + 1, 11, d1)
+            put_bits(desub, base + 12, 11, d2)
+            ok = ok and ok1 and ok2
+        w1, ok1 = bch15_decode(get_bits(desub, 16, 15))
+        put_bits(desub, 16, 11, w1)
+        if not (ok and ok1):
+            continue
+        sfid, pnum, sow = decode_d2_subframe(desub, eph)
+        if np.isfinite(sow) and np.isinf(sow_first) and sfid == 1:
+            sow_first = sow - 0.6 * i
+    finalize_d2(eph)
+    eph["SOW"] = sow_first
+    return eph, sow_first
+
+
+def has_d2_ephemeris(eph: dict) -> bool:
+    return {101, 103, 104, 105, 106, 107, 108, 109,
+            110} <= eph.get("idValid", set())

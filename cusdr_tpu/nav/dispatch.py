@@ -137,8 +137,11 @@ def decode_glonass(track, ch, cfg, sig):
 
 
 def decode_bds_d1(track, ch, cfg, sig):
-    """BeiDou B1I/B3I D1: 1 ms epochs, NH20-modulated 20 ms bits
+    """BeiDou B1I/B3I D1 (MEO/IGSO) or D2 (GEO PRN<=5)
     (BDS/B1I/include/NAVdecoding.m)."""
+    prn = int(track.prns[ch])
+    if prn <= 5:
+        return _decode_bds_d2(track, ch, cfg, sig)
     i_p = track.i_p[ch]
     sec = C.NH20.astype(np.float64)
     phase = _best_secondary_phase(i_p, sec)
@@ -208,6 +211,32 @@ def decode_bcnav2(track, ch, cfg, sig):
     if not bcnav.bcnav2_has_ephemeris(eph) or not np.isfinite(sow):
         return None, -1, np.inf
     return eph, int(phase + 5 * first), float(sow)
+
+
+def _decode_bds_d2(track, ch, cfg, sig):
+    """BeiDou GEO D2: 2 ms bits, no NH, 0.6 s subframes
+    (NAVdecoding.m PRN<=5 branch)."""
+    i_p = track.i_p[ch]
+    bits_pm = _symbols_from_epochs(i_p, 2)
+    pre_pm = 2.0 * bds_d1.PREAMBLE.astype(np.float64) - 1.0
+
+    def verify(start_bit):
+        seg = bits_pm[start_bit:start_bit + 150 * 100]
+        if len(seg) < 150 * 100:
+            return False
+        dec, sow = bds_d1.decode_d2_frames(
+            (seg > 0).astype(np.uint8))
+        return np.isfinite(sow)
+
+    start = find_preamble(bits_pm, pre_pm, 1, 300, verify)
+    if start < 0:
+        return None, -1, np.inf
+    seg = bits_pm[start:]
+    eph, sow = bds_d1.decode_d2_frames((seg > 0).astype(np.uint8))
+    if not bds_d1.has_d2_ephemeris(eph) or not np.isfinite(sow):
+        return None, -1, np.inf
+    eph["is_geo"] = True
+    return eph, int(2 * start), float(sow)
 
 
 DECODERS = {

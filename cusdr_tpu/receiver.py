@@ -116,6 +116,10 @@ def sat_pos_for_signal(sig, transmit_time: float, eph: dict):
         return sat_pos_glonass(transmit_time, eph,
                                tau_c=eph.get("tau_c", 0.0))
     if codec == "bds_d1":
+        if eph.get("is_geo"):
+            from .orbits.kepler import sat_pos_bds_geo
+            return sat_pos_bds_geo(transmit_time, eph, BDS_GM,
+                                   BDS_OMEGA_E_DOT)
         return sat_pos_kepler(transmit_time, eph, gm=BDS_GM,
                               omega_e_dot=BDS_OMEGA_E_DOT)
     if codec in ("bcnav1", "bcnav2"):
