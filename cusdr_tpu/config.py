@@ -93,6 +93,9 @@ class ReceiverConfig:
     # --- GLONASS FDMA (GLO/GLO_GL1/initSettings.m:73) -------------------------
     freq_spacing: float = 0.0           # FDMA channel spacing [Hz]; 0 = CDMA
 
+    # --- B1C wideband (BDS/B1C/initSettings.m:59 FEBW) ------------------------
+    front_end_bw: float = 27e6          # front-end bandwidth [Hz]
+
     # --- TPU-build extras -----------------------------------------------------
     superblock_ms: int = 1000           # samples staged to device per scan
     track_block_pad: int = 8            # extra samples per epoch block

@@ -36,8 +36,11 @@ class SynthSV:
 def _component(sig: SignalDef, sv: SynthSV, chip_phase: np.ndarray,
                code_elements: np.ndarray, secondary: Optional[np.ndarray],
                nav_symbol_chips: float) -> np.ndarray:
-    """Evaluate code*secondary*data at given (fractional) chip phases."""
-    epc = sig.elements_per_chip
+    """Evaluate code*secondary*data at given (fractional) chip phases.
+
+    The element grid is derived from the array length so mixed-rate
+    components (e.g. B1C BOC(1,1) data + BOC(6,1) pilot) coexist."""
+    epc = len(code_elements) // sig.code_length_chips
     n_elem = len(code_elements)
     total_elem = np.floor(chip_phase * epc).astype(np.int64)
     vals = code_elements[total_elem % n_elem].astype(np.float32)

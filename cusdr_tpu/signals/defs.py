@@ -48,6 +48,9 @@ class SignalDef:
     # pilot phase among N hypotheses (L2C CL: 75,
     # GPS_L2C/include/acquisition.m:127-167)
     pilot_phase_hypotheses: int = 0
+    # wideband pilot replica (B1C QMBOC BOC(6,1)) + its elements/chip
+    pilot_code_wb: Optional[Callable[[int], np.ndarray]] = None
+    pilot_wb_elements_per_chip: int = 0
 
     @property
     def code_period_ms(self) -> float:
@@ -145,6 +148,8 @@ REGISTRY = {
         # (BDS/B1C/include/acquisition.m:213-214)
         acq_weights=(np.sqrt(11.0), np.sqrt(29.0)),
         pilot_secondary=beidou.b1c_secondary,
+        pilot_code_wb=beidou.b1c_pilot_boc61,
+        pilot_wb_elements_per_chip=12,
         nav_codec="bcnav1", nav_symbol_ms=10.0),
 
     "bds_b1i": SignalDef(

@@ -54,8 +54,13 @@ class TrackParams:
     tau2_carr: float
     pdi: float                  # integration time [s]
     has_pilot: bool = False
-    data_weight: float = 0.5    # data/pilot discriminator combining
+    data_weight: float = 0.5    # data/pilot PLL combining
     pilot_weight: float = 0.5   # (B1C: 11/40, 29/40 — NB_tracking.m:344)
+    dll_data_weight: float = 0.5    # DLL combining (WB: factor/(1-factor),
+    dll_pilot_weight: float = 0.5   # WB_tracking.m:300-315)
+    pilot_epc: int = 0          # pilot table elements/chip (0 = same as
+                                # elements_per_chip; WB BOC(6,1): 12)
+    dll_scale: float = 1.0      # discriminator scale (WB: 1-spacing)
     pll_order: int = 2
     pf1: float = 0.0            # 3rd-order PLL gains
     pf2: float = 0.0            # (NB_tracking.m:347-349)
@@ -205,15 +210,18 @@ def _epoch_one_channel(samples_iq, sb_start, code_table, pilot_table,
 
     if p.has_pilot:
         # pilot correlators with π/2-rotated carrier
-        # (GPS_L5C/include/tracking.m:334-345)
-        pidx = jnp.ceil(tcode * epc).astype(jnp.int32) - 1
-        pprompt = pilot_table[jnp.mod(pidx, n_elem)].astype(jnp.float32)
+        # (GPS_L5C/include/tracking.m:334-345); the pilot table may use a
+        # finer element grid (WB QMBOC BOC(6,1): 12 elements/chip,
+        # WB_tracking.m:176-188)
+        pepc = p.pilot_epc or epc
+        pn_elem = p.code_len * pepc
 
         def pchips(offset_chips):
-            idx = jnp.ceil((tcode + offset_chips) * epc).astype(
+            idx = jnp.ceil((tcode + offset_chips) * pepc).astype(
                 jnp.int32) - 1
-            return pilot_table[jnp.mod(idx, n_elem)].astype(jnp.float32)
+            return pilot_table[jnp.mod(idx, pn_elem)].astype(jnp.float32)
 
+        pprompt = pchips(jnp.float32(0.0))
         pearly, plate = pchips(jnp.float32(-p.spacing)), \
             pchips(jnp.float32(p.spacing))
         # rotate: exp(-j(phase - π/2))·s = j·[exp(-j·phase)·s]
@@ -257,11 +265,18 @@ def _epoch_one_channel(samples_iq, sb_start, code_table, pilot_table,
     env_e = jnp.sqrt(i_e * i_e + q_e * q_e)
     env_l = jnp.sqrt(i_l * i_l + q_l * q_l)
     if p.has_pilot:
-        env_e = (p.data_weight * env_e
-                 + p.pilot_weight * jnp.sqrt(pi_e * pi_e + pq_e * pq_e))
-        env_l = (p.data_weight * env_l
-                 + p.pilot_weight * jnp.sqrt(pi_l * pi_l + pq_l * pq_l))
-    code_err = ((env_e - env_l) / (env_e + env_l + eps)).astype(jnp.float64)
+        # per-channel discriminators combined with DLL weights
+        # (WB_tracking.m:300-315; NB path uses the power weights)
+        penv_e = jnp.sqrt(pi_e * pi_e + pq_e * pq_e)
+        penv_l = jnp.sqrt(pi_l * pi_l + pq_l * pq_l)
+        d_err = (env_e - env_l) / (env_e + env_l + eps)
+        p_err = (penv_e - penv_l) / (penv_e + penv_l + eps)
+        code_err = (p.dll_scale * (p.dll_data_weight * d_err
+                                   + p.dll_pilot_weight * p_err)
+                    ).astype(jnp.float64)
+    else:
+        code_err = ((env_e - env_l)
+                    / (env_e + env_l + eps)).astype(jnp.float64)
     code_nco = (st.code_nco
                 + (p.tau2_code / p.tau1_code) * (code_err - st.code_err)
                 + code_err * (p.pdi / p.tau1_code))
@@ -352,6 +367,18 @@ def make_track_params(cfg, sig: SignalDef) -> TrackParams:
         wd, wp = (w / w.sum()).tolist()
     else:
         wd = wp = 0.5
+    dll_wd, dll_wp = wd, wp
+    pilot_epc = 0
+    dll_scale = 1.0
+    if cfg.pilot_trk_flag == 2 and sig.pilot_code_wb is not None:
+        # WB QMBOC mode (WB_tracking.m): pilot replica is BOC(6,1); PLL
+        # 1/4+3/4, DLL factor/(1-factor) with (1-spacing) scaling
+        from .qmboc import calc_weighing_factor
+        factor = calc_weighing_factor(sig.chip_rate_hz, cfg.front_end_bw)
+        wd, wp = 0.25, 0.75
+        dll_wd, dll_wp = factor, 1.0 - factor
+        pilot_epc = sig.pilot_wb_elements_per_chip
+        dll_scale = 1.0 - cfg.dll_correlator_spacing
     return TrackParams(
         fs=cfg.sampling_freq, code_len=sig.code_length_chips,
         elements_per_chip=sig.elements_per_chip,
@@ -362,6 +389,8 @@ def make_track_params(cfg, sig: SignalDef) -> TrackParams:
         pdi=cfg.int_time,
         has_pilot=cfg.pilot_trk_flag > 0 and sig.pilot_code is not None,
         data_weight=wd, pilot_weight=wp,
+        dll_data_weight=dll_wd, dll_pilot_weight=dll_wp,
+        pilot_epc=pilot_epc, dll_scale=dll_scale,
         pll_order=cfg.pll_order, pf1=pf1, pf2=pf2, pf3=pf3)
 
 
@@ -388,7 +417,10 @@ def track(cfg, sig: SignalDef, samples_iq: np.ndarray,
     ctabs = np.stack([
         (sig.data_code(0 if fdma else int(ch[0]))) for ch in channels])
     if params.has_pilot:
-        ptabs = np.stack([sig.pilot_code(int(ch[0])) for ch in channels])
+        pfn = sig.pilot_code_wb if (cfg.pilot_trk_flag == 2 and
+                                    sig.pilot_code_wb is not None) \
+            else sig.pilot_code
+        ptabs = np.stack([pfn(int(ch[0])) for ch in channels])
     else:
         ptabs = np.zeros_like(ctabs)
     ctabs_d = jnp.asarray(ctabs)

@@ -167,3 +167,29 @@ def test_tracking_locks(scene):
         code_got = tr.code_freq[c, -tail:].mean()
         assert abs(code_got - code_truth) < 2.0 * sig.chip_rate_hz / 1e6, \
             (name, c, code_got, code_truth)
+
+
+def test_b1c_wideband_qmboc_tracking():
+    """WB (pilotTRKflag=2) mode: BOC(6,1) pilot replica + QMBOC weighting
+    (WB_tracking.m, CalcWeighingFactor.m) locks carrier and code."""
+    from dataclasses import replace
+    from cusdr_tpu.signals.codes import beidou
+    from cusdr_tpu.tracking.qmboc import calc_weighing_factor
+
+    factor = calc_weighing_factor(1.023e6, 27e6)
+    assert 0.05 < factor < 0.5    # data weight minority (BOC61 sharper)
+
+    sig = get_signal("bds_b1c")
+    sig_syn = replace(sig, pilot_code=beidou.b1c_pilot_boc61)
+    cfg = get_config("bds_b1c", sampling_freq=16.384e6, if_freq=7000.0,
+                     pilot_trk_flag=2)
+    rng = np.random.default_rng(1)
+    sv = SynthSV(prn=19, code_phase=977.0, doppler_hz=300.0, cn0_dbhz=50,
+                 nav_bits=rng.choice(np.asarray([-1, 1], np.int8), 100))
+    iq = quantize_iq_int8(synthesize_if(cfg, sig_syn, [sv], num_ms=450,
+                                        seed=4))
+    res = track(cfg, sig, iq, [(19, 7300.0, 977)], n_epochs=40)
+    ip = np.abs(res.i_p[0, -15:]).mean()
+    qp = np.abs(res.q_p[0, -15:]).mean()
+    assert ip > 3 * qp
+    assert abs(res.carr_freq[0, -10:].mean() - 7300.0) < 10.0
