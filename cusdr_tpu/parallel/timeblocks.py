@@ -1,0 +1,163 @@
+"""Time-block parallel tracking (the sequence-parallel axis).
+
+The reference processes time strictly sequentially — the per-epoch DLL/PLL
+feedback carries remCodePhase/remCarrPhase/NCO state (SURVEY.md §3.3).
+Here the IF timeline is split into B blocks tracked CONCURRENTLY
+(vmap over a 'tb' mesh axis), using predict-then-correct:
+
+  * predict: each block's initial channel state is propagated open-loop
+    from the acquisition solution — code phase advanced at the
+    Doppler-aided code rate, carrier at the acquired frequency.  Over
+    block lengths of seconds the prediction error stays within the DLL/PLL
+    pull-in range (milli-chips / a few Hz), so each block's closed loop
+    re-converges within a short transient.
+  * correct: outputs are stitched in time; the per-block transient
+    (first ``settle_epochs``) is the price of parallelism and is excluded
+    from measurement formation.
+
+This is the overlap-save/halo-exchange role that ring-attention plays for
+attention (SURVEY.md §5): state rides block boundaries as a *prediction*
+instead of a sequential dependency, turning a 60 s serial scan into B
+independent scans.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..signals.defs import SignalDef
+from ..tracking.engine import (ChannelState, TrackParams,
+                               init_channel_state, make_track_params,
+                               track_superblock, TrackResults,
+                               TrackOutputs)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "n_epochs"))
+def _track_blocks(samples_blocks, block_starts, code_tables, pilot_tables,
+                  states: ChannelState, params: TrackParams,
+                  n_epochs: int):
+    """vmap of track_superblock over the block axis.
+
+    samples_blocks: [B, 2*S_blk] int8; block_starts: [B] i64 (absolute
+    sample index of each block's buffer start); states: leaves [B, C].
+    """
+    def one(samples, start, st):
+        return track_superblock(samples, start, code_tables, pilot_tables,
+                                st, params, n_epochs)
+
+    return jax.vmap(one)(samples_blocks, block_starts, states)
+
+
+def predict_block_states(channels: Sequence, cfg, sig: SignalDef,
+                         n_blocks: int, epochs_per_block: int):
+    """Open-loop state prediction for each block start.
+
+    Returns (states with leaves [B, C], block first-epoch sample offsets
+    [B, C] as int64).
+    """
+    fs = cfg.sampling_freq
+    code_len = sig.code_length_chips
+    if_offsets = np.zeros(len(channels))
+    if sig.fdma:
+        if_offsets = np.asarray([sig.fdma_spacing_hz * ch[0]
+                                 for ch in channels])
+    dopplers = (np.asarray([ch[1] for ch in channels])
+                - cfg.if_freq - if_offsets)
+    code_freqs = sig.chip_rate_hz * (1.0 + dopplers / sig.carrier_freq_hz)
+    phase0 = np.asarray([ch[2] for ch in channels], np.float64)
+
+    states = []
+    starts = np.zeros((n_blocks, len(channels)), np.int64)
+    rems = np.zeros((n_blocks, len(channels)), np.float64)
+    for b in range(n_blocks):
+        # chips elapsed by this block's first epoch
+        chips = b * epochs_per_block * code_len
+        # sample position where that code period starts
+        pos = phase0 + chips * (fs / code_freqs)
+        starts[b] = np.ceil(pos).astype(np.int64)
+        # rem_code_phase convention (tracking.m:273): fractional chips
+        # already elapsed at the integer start sample
+        rems[b] = (starts[b] - pos) * (code_freqs / fs)
+    base = init_channel_state(channels, sig.chip_rate_hz,
+                              dopplers=dopplers,
+                              carrier_freq_hz=sig.carrier_freq_hz)
+    leaves = []
+    for b in range(n_blocks):
+        st = base._replace(
+            abs_sample=jnp.asarray(starts[b]),
+            rem_code_phase=jnp.asarray(rems[b]))
+        leaves.append(st)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *leaves)
+    return stacked, starts
+
+
+def track_time_parallel(cfg, sig: SignalDef, samples_iq: np.ndarray,
+                        channels: Sequence, n_epochs: int,
+                        n_blocks: int,
+                        settle_epochs: int = 150,
+                        mesh=None) -> TrackResults:
+    """Track ``n_epochs`` split into ``n_blocks`` concurrent time blocks.
+
+    With ``mesh`` (axis 'tb'), the block axis is sharded across devices;
+    without, vmap still executes all blocks in one fused program.
+    Returns TrackResults over the full timeline (block transients
+    included; consumers should skip ``settle_epochs`` after each block
+    boundary — nav_solve tolerates this via parity/CRC gating).
+    """
+    params = make_track_params(cfg, sig)
+    spc = cfg.samples_per_code
+    epochs_per_block = n_epochs // n_blocks
+    assert epochs_per_block * n_blocks == n_epochs
+
+    states, starts = predict_block_states(channels, cfg, sig, n_blocks,
+                                          epochs_per_block)
+    # per-block sample windows (with tail margin)
+    blk_len = (epochs_per_block + 3) * spc + params.blk
+    total = len(samples_iq) // 2
+    sb = np.zeros((n_blocks, 2 * blk_len), np.int8)
+    sb_start = np.zeros(n_blocks, np.int64)
+    for b in range(n_blocks):
+        s0 = int(starts[b].min())
+        s1 = min(s0 + blk_len, total)
+        sb_start[b] = s0
+        sb[b, :2 * (s1 - s0)] = samples_iq[2 * s0:2 * s1]
+
+    ctabs = np.stack([sig.data_code(0 if sig.fdma else int(ch[0]))
+                      for ch in channels])
+    if params.has_pilot:
+        pfn = sig.pilot_code_wb if (cfg.pilot_trk_flag == 2
+                                    and sig.pilot_code_wb is not None) \
+            else sig.pilot_code
+        ptabs = np.stack([pfn(int(ch[0])) for ch in channels])
+    else:
+        ptabs = np.zeros_like(ctabs)
+
+    sb_d = jnp.asarray(sb)
+    starts_d = jnp.asarray(sb_start)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(mesh, P("tb"))
+        sb_d = jax.device_put(sb_d, NamedSharding(mesh, P("tb", None)))
+        starts_d = jax.device_put(starts_d, sh)
+        states = jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(
+                mesh, P(*(("tb",) + (None,) * (x.ndim - 1))))), states)
+
+    _, outs = _track_blocks(sb_d, starts_d, jnp.asarray(ctabs),
+                            jnp.asarray(ptabs), states, params,
+                            epochs_per_block)
+    # outs leaves: [B, epochs_per_block, C] -> [C, B*epochs_per_block]
+    merged = {}
+    for name in TrackOutputs._fields:
+        v = np.asarray(getattr(outs, name))
+        merged[name] = np.concatenate(list(v), axis=0).T
+    res = TrackResults([ch[0] for ch in channels], merged, cfg)
+    res.n_blocks = n_blocks
+    res.epochs_per_block = epochs_per_block
+    res.settle_epochs = settle_epochs
+    return res
