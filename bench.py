@@ -67,8 +67,8 @@ def main():
     # before the device work completes; synchronize by fetching the small
     # outputs to host (adds one ~25 ms round-trip, measured separately).
     def run_acq():
-        peak, b, ph = _pcps_cdma_kernel(*args, n_noncoh=noncoh,
-                                       n_comp=1, search_len=search_len)
+        peak, b, ph, second = _pcps_cdma_kernel(
+            *args, n_noncoh=noncoh, n_comp=1, search_len=search_len)
         return np.asarray(peak)
 
     run_acq()                          # compile

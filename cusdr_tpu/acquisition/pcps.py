@@ -92,14 +92,18 @@ def _mixed_fft(slabs_r, slabs_i, f_grid, ts):
     return _fft_pair(mr, mi)
 
 
-def _corr_peak(mf, cfftc, weights, n_comp, search_len=None):
+def _corr_peak(mf, cfftc, weights, n_comp, search_len=None,
+               excl_samples: int = 0):
     """Envelope-summed correlation peak for one PRN.
 
     mf: pair of [n_bins, n_noncoh, nfft]; cfftc: pair of [n_comp, nfft].
     The FFT length is padded to a power of two; only the first
     ``search_len`` lags (= 2 code periods, the reference's search span,
     acquisition.m:160-162) are scanned for the peak.
-    Returns (peak, bin, phase).
+    Returns (peak, bin, phase, second_peak) where second_peak is the
+    largest value in the peak's Doppler row outside ±excl_samples of the
+    peak (the L2C/B1I second-peak-ratio metric,
+    GPS_L2C/include/acquisition.m:90-112).
     """
     mfr, mfi = mf
     cfr, cfi = cfftc
@@ -114,13 +118,25 @@ def _corr_peak(mf, cfftc, weights, n_comp, search_len=None):
             ir[..., :search], ii[..., :search]).sum(axis=1)
     flat = acc.reshape(-1)
     k = jnp.argmax(flat)
-    return flat[k], k // search, k % search
+    peak_bin = k // search
+    peak_phase = k % search
+    row = acc[peak_bin]
+    lags = jnp.arange(search)
+    # the search spans 2 code periods, so the true peak repeats at
+    # ±one period: exclude the neighborhood periodically (mod spc)
+    spc = search // 2
+    d = jnp.mod(lags - peak_phase, spc)
+    dist = jnp.minimum(d, spc - d)
+    masked = jnp.where(dist > excl_samples, row, 0.0)
+    return flat[k], peak_bin, peak_phase, jnp.max(masked)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_noncoh", "n_comp", "search_len"))
+                   static_argnames=("n_noncoh", "n_comp", "search_len",
+                                    "excl_samples"))
 def _pcps_cdma_kernel(slabs, code_fft_conj, weights, f_grid, ts,
-                      n_noncoh: int, n_comp: int, search_len: int):
+                      n_noncoh: int, n_comp: int, search_len: int,
+                      excl_samples: int = 0):
     """CDMA PCPS: the mixed-signal FFT is computed ONCE and shared by all
     PRNs (the reference recomputes it per PRN: acquisition.m:167-191).
 
@@ -131,16 +147,19 @@ def _pcps_cdma_kernel(slabs, code_fft_conj, weights, f_grid, ts,
     mf = _mixed_fft(slabs[0], slabs[1], f_grid, ts)
 
     def one_prn(carry, cfftc):
-        return carry, _corr_peak(mf, cfftc, weights, n_comp, search_len)
+        return carry, _corr_peak(mf, cfftc, weights, n_comp, search_len,
+                                 excl_samples)
 
     _, out = jax.lax.scan(one_prn, 0, code_fft_conj)
     return out
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_noncoh", "n_comp", "search_len"))
+                   static_argnames=("n_noncoh", "n_comp", "search_len",
+                                    "excl_samples"))
 def _pcps_fdma_kernel(slabs, code_fft_conj, weights, freqs, ts,
-                      n_noncoh: int, n_comp: int, search_len: int):
+                      n_noncoh: int, n_comp: int, search_len: int,
+                      excl_samples: int = 0):
     """FDMA PCPS (GLONASS): one shared code, per-channel carrier grids
     (GLO_GL1/include/acquisition.m:181-182).
 
@@ -151,7 +170,8 @@ def _pcps_fdma_kernel(slabs, code_fft_conj, weights, freqs, ts,
         mf = _mixed_fft(slabs[0], slabs[1], f_grid, ts)
         return carry, _corr_peak(mf, (code_fft_conj[0][0],
                                       code_fft_conj[1][0]),
-                                 weights, n_comp, search_len)
+                                 weights, n_comp, search_len,
+                                 excl_samples)
 
     _, out = jax.lax.scan(one_chan, 0, freqs)
     return out
@@ -276,34 +296,42 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
     band, step = cfg.acq_search_band, cfg.acq_search_step
     n_bins = cfg.num_freq_bins
     base = (cfg.if_freq + band - step * np.arange(n_bins)).astype(np.float32)
+    excl = int(round(fs / sig.chip_rate_hz)) + 1   # ±1 chip exclusion
     if sig.fdma:
         # GLONASS: 'PRN' is the frequency channel K
         # (GLO_GL1/include/acquisition.m:181-182)
         offs = (prns * sig.fdma_spacing_hz).astype(np.float32)
         freqs = base[None, :] + offs[:, None]
         freqs = np.ascontiguousarray(freqs)
-        peak, bin_idx, phase_idx = _pcps_fdma_kernel(
+        peak, bin_idx, phase_idx, second = _pcps_fdma_kernel(
             (jnp.asarray(slabs_r), jnp.asarray(slabs_i)),
             (jnp.asarray(cf_r[:1]), jnp.asarray(cf_i[:1])),
             jnp.asarray(weights), jnp.asarray(freqs), ts,
-            n_noncoh=noncoh, n_comp=n_comp, search_len=search_len)
+            n_noncoh=noncoh, n_comp=n_comp, search_len=search_len,
+            excl_samples=excl)
     else:
         freqs = np.broadcast_to(base, (len(prns), n_bins))
-        peak, bin_idx, phase_idx = _pcps_cdma_kernel(
+        peak, bin_idx, phase_idx, second = _pcps_cdma_kernel(
             (jnp.asarray(slabs_r), jnp.asarray(slabs_i)),
             (jnp.asarray(cf_r), jnp.asarray(cf_i)),
             jnp.asarray(weights), jnp.asarray(base), ts,
-            n_noncoh=noncoh, n_comp=n_comp, search_len=search_len)
+            n_noncoh=noncoh, n_comp=n_comp, search_len=search_len,
+            excl_samples=excl)
     peak = np.asarray(peak)
     bin_idx = np.asarray(bin_idx)
     phase_idx = np.asarray(phase_idx)
+    second = np.asarray(second)
 
-    # ---- GLRT statistic (acquisition.m:150-151,200) -----------------------
-    sig_power = np.sqrt(np.var(np.asarray(samples[:spc])) * spc)
-    metric = peak / sig_power / noncoh
-    # weighted components change the envelope scale; normalize so the
-    # threshold semantics stay comparable to single-component GLRT
-    metric = metric / weights.sum()
+    if cfg.acq_metric == "second_peak":
+        # peak / second-peak ratio (GPS_L2C/include/acquisition.m:90-112)
+        metric = peak / np.maximum(second, 1e-12)
+    else:
+        # GLRT statistic (acquisition.m:150-151,200)
+        sig_power = np.sqrt(np.var(np.asarray(samples[:spc])) * spc)
+        metric = peak / sig_power / noncoh
+        # weighted components change the envelope scale; normalize so the
+        # threshold stays comparable to the single-component GLRT
+        metric = metric / weights.sum()
     detected = metric > cfg.acq_threshold
 
     coarse_freq = freqs[np.arange(len(prns)), bin_idx]
@@ -362,11 +390,37 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
         if need > len(samples):
             cp = cp - spc  # fall back one code period
         seg = np.asarray(samples[cp:cp + n_codes * spc])
+        # long-pilot phase search FIRST (coarse freq is good enough for
+        # one coherent code period) so the pilot-based fine stage uses
+        # the right pilot segment (GPS_L2C/include/acquisition.m:127-167)
+        nhyp = sig.pilot_phase_hypotheses
+        if nhyp > 1 and sig.pilot_code is not None:
+            one_code = np.asarray(samples[cp:cp + spc])
+            t = np.arange(spc) / fs
+            wiped = one_code * np.exp(-2j * np.pi * coarse_freq[i] * t)
+            pilot_elems = sig.pilot_code(int(prn))
+            epc_ = sig.elements_per_chip
+            n_elem_period = sig.code_length_chips * epc_
+            eidx = np.floor(np.arange(spc) * (sig.chip_rate_hz / fs)
+                            * epc_).astype(np.int64)
+            powers_cl = np.empty(nhyp)
+            for h in range(nhyp):
+                rep = pilot_elems[(eidx + h * n_elem_period)
+                                  % len(pilot_elems)]
+                powers_cl[h] = np.abs(np.sum(wiped * rep))
+            pilot_phase[i] = int(np.argmax(powers_cl))
         code_fn, H = fine_setup(int(prn))
         elems = code_fn(0 if sig.fdma else int(prn))
+        # pilot-based fine on a long pilot starts at the resolved phase
+        fine_offset_chips = 0.0
+        if nhyp > 1 and code_fn is sig.pilot_code:
+            fine_offset_chips = float(pilot_phase[i]
+                                      * sig.code_length_chips)
         replica = sample_code(elems, sig.elements_per_chip,
                               sig.chip_rate_hz, fs,
-                              n_codes * spc).astype(np.float32)
+                              n_codes * spc,
+                              code_phase_chips=fine_offset_chips
+                              ).astype(np.float32)
         fine_freqs = (coarse_freq[i] + cfg.acq_search_step / 2
                       - fine_step * np.arange(n_fine)).astype(np.float32)
         envelope = H is None
@@ -381,24 +435,6 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
         if carr_freq[i] == 0.0:
             carr_freq[i] = 1.0   # acquisition.m:257-260
         code_phase[i] = int(phase_idx[i])
-        # long-pilot phase search (L2C CL: 75 direct correlations,
-        # GPS_L2C/include/acquisition.m:127-167)
-        nhyp = sig.pilot_phase_hypotheses
-        if nhyp > 1 and sig.pilot_code is not None:
-            one_code = np.asarray(samples[cp:cp + spc])
-            t = np.arange(spc) / fs
-            wiped = one_code * np.exp(-2j * np.pi * carr_freq[i] * t)
-            pilot_elems = sig.pilot_code(int(prn))
-            epc = sig.elements_per_chip
-            n_elem_period = sig.code_length_chips * epc
-            eidx = np.floor(np.arange(spc) * (sig.chip_rate_hz / fs)
-                            * epc).astype(np.int64)
-            powers_cl = np.empty(nhyp)
-            for h in range(nhyp):
-                rep = pilot_elems[(eidx + h * n_elem_period)
-                                  % len(pilot_elems)]
-                powers_cl[h] = np.abs(np.sum(wiped * rep))
-            pilot_phase[i] = int(np.argmax(powers_cl))
         # downsampling recovery (acquisition.m:262-282)
         code_phase[i], carr_freq[i] = recover(code_phase[i],
                                               carr_freq[i], rs_info)

@@ -66,6 +66,8 @@ class ReceiverConfig:
     acq_search_step: float = 500.0      # coarse Doppler step [Hz]
     resampling_threshold: float = 8e6
     resampling_flag: bool = False
+    acq_metric: str = "glrt"            # 'glrt' | 'second_peak'
+                                        # (L2C/B1I use peak ratios)
     fine_search_step: float = 25.0      # fine Doppler step [Hz] (acquisition.m:138)
 
     # --- tracking loops (initSettings.m:96-105) -------------------------------
@@ -151,6 +153,7 @@ def gps_l2c() -> ReceiverConfig:
         signal="gps_l2c", sampling_freq=8e6, if_freq=20e3,
         code_freq_basis=0.5115e6, code_length=10_230, num_channels=12,
         acq_search_band=10_000.0, acq_threshold=1.5,
+        acq_metric="second_peak",
         acq_coh_time=20, acq_non_coh_time=1, acq_search_step=12.5,
         resampling_threshold=6e6,
         dll_noise_bandwidth=4.0, dll_correlator_spacing=0.25,

@@ -78,6 +78,7 @@ def pcps_sharded(slabs, code_fft_conj, weights, f_grid, ts, n_comp: int,
     mf = _mixed_fft(slabs[0], slabs[1], f_grid, ts)
 
     def one_prn(cfr, cfi):
-        return _corr_peak(mf, (cfr, cfi), weights, n_comp, search_len)
+        return _corr_peak(mf, (cfr, cfi), weights, n_comp,
+                          search_len)
 
     return jax.vmap(one_prn)(code_fft_conj[0], code_fft_conj[1])
