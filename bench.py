@@ -85,9 +85,12 @@ def main():
     samples = rng.integers(-16, 16, 2 * n_samples).astype(np.int8)
     channels = [(1 + k, cfg.if_freq + 500.0 * (k - 6), k * 1499)
                 for k in range(n_channels)]
-    ctabs = jnp.asarray(np.stack([sig.data_code(p) for p, _, _ in
-                                  channels]))
-    ptabs = jnp.zeros_like(ctabs)
+    from cusdr_tpu.tracking.engine import build_replica_tables
+    dops = [c[1] - cfg.if_freq for c in channels]
+    ctabs_np, ptabs_np = build_replica_tables(cfg, sig, params, channels,
+                                              dops)
+    ctabs = jnp.asarray(ctabs_np)
+    ptabs = jnp.asarray(ptabs_np)
     state = init_channel_state(channels, sig.chip_rate_hz,
                                dopplers=[c[1]-cfg.if_freq for c in channels],
                                carrier_freq_hz=sig.carrier_freq_hz)

@@ -127,15 +127,26 @@ def track_time_parallel(cfg, sig: SignalDef, samples_iq: np.ndarray,
         sb_start[b] = s0
         sb[b, :2 * (s1 - s0)] = samples_iq[2 * s0:2 * s1]
 
-    ctabs = np.stack([sig.data_code(0 if sig.fdma else int(ch[0]))
-                      for ch in channels])
-    if params.has_pilot:
-        pfn = sig.pilot_code_wb if (cfg.pilot_trk_flag == 2
-                                    and sig.pilot_code_wb is not None) \
-            else sig.pilot_code
-        ptabs = np.stack([pfn(int(ch[0])) for ch in channels])
+    if_offsets0 = np.zeros(len(channels))
+    if sig.fdma:
+        if_offsets0 = np.asarray([sig.fdma_spacing_hz * ch[0]
+                                  for ch in channels])
+    dopplers0 = (np.asarray([ch[1] for ch in channels], np.float64)
+                 - cfg.if_freq - if_offsets0)
+    if params.fast_code:
+        from ..tracking.engine import build_replica_tables
+        ctabs, ptabs = build_replica_tables(cfg, sig, params, channels,
+                                            dopplers0)
     else:
-        ptabs = np.zeros_like(ctabs)
+        ctabs = np.stack([sig.data_code(0 if sig.fdma else int(ch[0]))
+                          for ch in channels])
+        if params.has_pilot:
+            pfn = sig.pilot_code_wb if (cfg.pilot_trk_flag == 2
+                                        and sig.pilot_code_wb is not None) \
+                else sig.pilot_code
+            ptabs = np.stack([pfn(int(ch[0])) for ch in channels])
+        else:
+            ptabs = np.zeros_like(ctabs)
 
     sb_d = jnp.asarray(sb)
     starts_d = jnp.asarray(sb_start)

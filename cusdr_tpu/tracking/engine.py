@@ -61,6 +61,9 @@ class TrackParams:
     pilot_epc: int = 0          # pilot table elements/chip (0 = same as
                                 # elements_per_chip; WB BOC(6,1): 12)
     dll_scale: float = 1.0      # discriminator scale (WB: 1-spacing)
+    fast_code: bool = True      # sliced precomputed replica (TPU fast
+                                # path) instead of per-epoch gather
+    up_margin: int = 64         # replica table margin [samples]
     pll_order: int = 2
     pf1: float = 0.0            # 3rd-order PLL gains
     pf2: float = 0.0            # (NB_tracking.m:347-349)
@@ -146,7 +149,9 @@ def _epoch_one_channel(samples_iq, sb_start, code_table, pilot_table,
     """Track one epoch (one code period) for one channel.
 
     samples_iq: [2S] int8 interleaved I/Q (device-resident superblock)
-    code_table/pilot_table: [E] int8 code elements
+    code_table/pilot_table: fast path — [blk + 2*up_margin] float32
+    pre-sampled replica (chip phase (m - up_margin)*step at index m);
+    exact path — [E] int8 code elements
     st: per-channel scalar slice of ChannelState
     """
     epc = p.elements_per_chip
@@ -166,17 +171,42 @@ def _epoch_one_channel(samples_iq, sb_start, code_table, pilot_table,
     n = jnp.arange(p.blk, dtype=jnp.float32)
     mask = n < blksize.astype(jnp.float32)
 
-    # ---- E/P/L code elements by ceil-index (tracking.m:252-270) -----------
+    # ---- E/P/L code replicas ----------------------------------------------
     tcode = (jnp.float32(st.rem_code_phase)
              + n * jnp.float32(code_phase_step))
 
-    def chips(offset_chips):
-        idx = jnp.ceil((tcode + offset_chips) * epc).astype(jnp.int32) - 1
-        return code_table[jnp.mod(idx, n_elem)].astype(jnp.float32)
+    if p.fast_code:
+        # TPU fast path: the replica is pre-sampled once per run at the
+        # Doppler-aided code rate; per-epoch fractional code phase is
+        # realized by a dynamic slice at round(rem/step) (gathers are
+        # ~30x the cost of the whole epoch on TPU).  The f64 ``rem``
+        # carry stays exact; only intra-epoch chip-boundary placement is
+        # quantized to the sample grid (sub-0.01-chip, zero-mean).
+        shift_f = st.rem_code_phase / code_phase_step
+        shift = jnp.floor(shift_f).astype(jnp.int32)
+        alpha = (shift_f - jnp.floor(shift_f)).astype(jnp.float32)
+        k = jnp.round(p.spacing / code_phase_step).astype(jnp.int32)
+        start = p.up_margin + shift
 
-    early = chips(jnp.float32(-p.spacing))
-    prompt = chips(jnp.float32(0.0))
-    late = chips(jnp.float32(p.spacing))
+        def repl(delta):
+            a = jax.lax.dynamic_slice(code_table, (start + delta,),
+                                      (p.blk,))
+            b = jax.lax.dynamic_slice(code_table, (start + delta + 1,),
+                                      (p.blk,))
+            return a + alpha * (b - a)   # sub-sample phase interpolation
+
+        early = repl(-k)
+        prompt = repl(0)
+        late = repl(k)
+    else:
+        def chips(offset_chips):
+            idx = jnp.ceil((tcode + offset_chips) * epc).astype(
+                jnp.int32) - 1
+            return code_table[jnp.mod(idx, n_elem)].astype(jnp.float32)
+
+        early = chips(jnp.float32(-p.spacing))
+        prompt = chips(jnp.float32(0.0))
+        late = chips(jnp.float32(p.spacing))
 
     # ---- carrier wipe-off (tracking.m:280-291) ----------------------------
     # Phase is carried in f64 SCALARS but the per-sample ramp is computed
@@ -213,17 +243,28 @@ def _epoch_one_channel(samples_iq, sb_start, code_table, pilot_table,
         # (GPS_L5C/include/tracking.m:334-345); the pilot table may use a
         # finer element grid (WB QMBOC BOC(6,1): 12 elements/chip,
         # WB_tracking.m:176-188)
-        pepc = p.pilot_epc or epc
-        pn_elem = p.code_len * pepc
+        if p.fast_code:
+            def prepl(delta):
+                a = jax.lax.dynamic_slice(pilot_table,
+                                          (start + delta,), (p.blk,))
+                b = jax.lax.dynamic_slice(pilot_table,
+                                          (start + delta + 1,), (p.blk,))
+                return a + alpha * (b - a)
+            pprompt = prepl(0)
+            pearly, plate = prepl(-k), prepl(k)
+        else:
+            pepc = p.pilot_epc or epc
+            pn_elem = p.code_len * pepc
 
-        def pchips(offset_chips):
-            idx = jnp.ceil((tcode + offset_chips) * pepc).astype(
-                jnp.int32) - 1
-            return pilot_table[jnp.mod(idx, pn_elem)].astype(jnp.float32)
+            def pchips(offset_chips):
+                idx = jnp.ceil((tcode + offset_chips) * pepc).astype(
+                    jnp.int32) - 1
+                return pilot_table[jnp.mod(idx,
+                                           pn_elem)].astype(jnp.float32)
 
-        pprompt = pchips(jnp.float32(0.0))
-        pearly, plate = pchips(jnp.float32(-p.spacing)), \
-            pchips(jnp.float32(p.spacing))
+            pprompt = pchips(jnp.float32(0.0))
+            pearly, plate = pchips(jnp.float32(-p.spacing)), \
+                pchips(jnp.float32(p.spacing))
         # rotate: exp(-j(phase - π/2))·s = j·[exp(-j·phase)·s]
         pb_i, pb_q = -bb_q, bb_i
         pcodes = jnp.stack([pearly, pprompt, plate])
@@ -351,6 +392,45 @@ class TrackResults:
             self.cno[c] = np.asarray(vals)
 
 
+def build_replica_tables(cfg, sig: SignalDef, params: TrackParams,
+                         channels: Sequence, dopplers) -> tuple:
+    """Pre-sampled E/P/L source replicas for the fast tracking path.
+
+    Returns (code_tables, pilot_tables) float32 [C, blk + 2*up_margin]
+    where index m holds the code at chip phase (m - up_margin)*step_c,
+    step_c the channel's Doppler-aided code step."""
+    m0 = params.up_margin
+    length = params.blk + 2 * m0
+    c = len(channels)
+    ctabs = np.empty((c, length), np.float32)
+    ptabs = np.zeros((c, length), np.float32)
+    use_wb = (cfg.pilot_trk_flag == 2 and sig.pilot_code_wb is not None)
+    pfn = sig.pilot_code_wb if use_wb else sig.pilot_code
+    for k, ch in enumerate(channels):
+        code_freq = sig.chip_rate_hz * (
+            1.0 + dopplers[k] / sig.carrier_freq_hz)
+        phase0 = -m0 * code_freq / cfg.sampling_freq
+        elems = sig.data_code(0 if sig.fdma else int(ch[0]))
+        ctabs[k] = sample_code_any(elems, sig.code_length_chips,
+                                   code_freq, cfg.sampling_freq, length,
+                                   phase0)
+        if params.has_pilot:
+            pel = pfn(int(ch[0]))
+            ptabs[k] = sample_code_any(pel, sig.code_length_chips,
+                                       code_freq, cfg.sampling_freq,
+                                       length, phase0)
+    return ctabs, ptabs
+
+
+def sample_code_any(elements, code_len_chips, code_freq, fs, n, phase0):
+    """Nearest-element sampling with the element grid derived from the
+    array length (handles BOC(6,1) etc.)."""
+    epc = len(elements) // code_len_chips
+    idx = np.floor((phase0 + np.arange(n) * (code_freq / fs))
+                   * epc).astype(np.int64) % len(elements)
+    return elements[idx].astype(np.float32)
+
+
 def make_track_params(cfg, sig: SignalDef) -> TrackParams:
     from .loop_filters import calc_loop_coef_carr3
     t1c, t2c = calc_loop_coef(cfg.dll_noise_bandwidth,
@@ -379,7 +459,12 @@ def make_track_params(cfg, sig: SignalDef) -> TrackParams:
         dll_wd, dll_wp = factor, 1.0 - factor
         pilot_epc = sig.pilot_wb_elements_per_chip
         dll_scale = 1.0 - cfg.dll_correlator_spacing
+    # fast sliced-replica path needs >= 1 sample of correlator spacing
+    k_nominal = cfg.dll_correlator_spacing * cfg.sampling_freq \
+        / sig.chip_rate_hz
+    fast = k_nominal >= 0.5
     return TrackParams(
+        fast_code=fast,
         fs=cfg.sampling_freq, code_len=sig.code_length_chips,
         elements_per_chip=sig.elements_per_chip,
         code_freq_basis=sig.chip_rate_hz,
@@ -412,29 +497,34 @@ def track(cfg, sig: SignalDef, samples_iq: np.ndarray,
     sb_epochs = superblock_epochs or min(
         n_epochs, max(int(cfg.superblock_ms / sig.code_period_ms), 1))
 
-    # code element tables [C, E]
+    # Doppler-aided code rates (tables + state init, preRun.m:71-73)
     fdma = sig.fdma
-    ctabs = np.stack([
-        (sig.data_code(0 if fdma else int(ch[0]))) for ch in channels])
-    if params.has_pilot:
-        pfn = sig.pilot_code_wb if (cfg.pilot_trk_flag == 2 and
-                                    sig.pilot_code_wb is not None) \
-            else sig.pilot_code
-        ptabs = np.stack([pfn(int(ch[0])) for ch in channels])
+    if_offsets0 = np.zeros(len(channels))
+    if fdma:
+        if_offsets0 = np.asarray([sig.fdma_spacing_hz * ch[0]
+                                  for ch in channels])
+    dopplers0 = (np.asarray([ch[1] for ch in channels], np.float64)
+                 - cfg.if_freq - if_offsets0)
+    if params.fast_code:
+        # fast path: pre-sampled replicas sliced per epoch
+        ctabs, ptabs = build_replica_tables(cfg, sig, params, channels,
+                                            dopplers0)
     else:
-        ptabs = np.zeros_like(ctabs)
+        ctabs = np.stack([
+            (sig.data_code(0 if fdma else int(ch[0])))
+            for ch in channels])
+        if params.has_pilot:
+            pfn = sig.pilot_code_wb if (cfg.pilot_trk_flag == 2 and
+                                        sig.pilot_code_wb is not None) \
+                else sig.pilot_code
+            ptabs = np.stack([pfn(int(ch[0])) for ch in channels])
+        else:
+            ptabs = np.zeros_like(ctabs)
     ctabs_d = jnp.asarray(ctabs)
     ptabs_d = jnp.asarray(ptabs)
 
-    # Doppler-aided code-NCO center per channel (preRun.m:71-73)
-    if_offsets = np.zeros(len(channels))
-    if sig.fdma:
-        if_offsets = np.asarray([sig.fdma_spacing_hz * ch[0]
-                                 for ch in channels])
-    dopplers = np.asarray([ch[1] for ch in channels]) \
-        - cfg.if_freq - if_offsets
     state = init_channel_state(channels, sig.chip_rate_hz,
-                               dopplers=dopplers,
+                               dopplers=dopplers0,
                                carrier_freq_hz=sig.carrier_freq_hz)
     chunks = []
     done = 0
