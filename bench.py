@@ -106,8 +106,34 @@ def main():
     run_track()
     t_track = time.perf_counter() - t0
 
+    # ---------------- time-parallel tracking workload ---------------------
+    # The sequence-parallel axis (parallel/timeblocks.py) also pays off
+    # INTRA-chip: B concurrent blocks fill the VPU/MXU far better than one
+    # serial scan.  Same total epochs, 8 blocks.
+    from cusdr_tpu.parallel.timeblocks import _track_blocks
+    n_blocks = 8
+    epb = n_epochs // n_blocks
+    blk_len = (epb + 4) * spc
+    sbs = np.stack([samples[2 * b * spc:2 * (b * spc + blk_len)]
+                    for b in range(n_blocks)])
+    starts = jnp.asarray(np.arange(n_blocks, dtype=np.int64) * spc)
+    st_b = jax.tree.map(lambda x: jnp.stack([x] * n_blocks), state)
+    sbs_d = jnp.asarray(sbs)
+
+    def run_track_tp():
+        st, outs = _track_blocks(sbs_d, starts, ctabs, ptabs, st_b,
+                                 params, epb)
+        return np.asarray(st.carr_freq)
+
+    run_track_tp()                     # compile
+    t0 = time.perf_counter()
+    run_track_tp()
+    t_track_tp = time.perf_counter() - t0
+
     # ---------------- combined metric --------------------------------------
-    track_rate = n_epochs * spc / t_track            # samples/s
+    track_rate_seq = n_epochs * spc / t_track        # samples/s
+    track_rate_tp = n_epochs * spc / t_track_tp
+    track_rate = max(track_rate_seq, track_rate_tp)
     total_samples = 60.0 * cfg.sampling_freq         # 60 s record
     t_total = t_acq + total_samples / track_rate
     samples_per_sec = total_samples / t_total
@@ -121,7 +147,8 @@ def main():
         "detail": {
             "acq_time_s": round(t_acq, 4),
             "acq_grid_points_per_s": round(grid_points / t_acq, 1),
-            "track_samples_per_s": round(track_rate, 1),
+            "track_samples_per_s_sequential": round(track_rate_seq, 1),
+            "track_samples_per_s_timeparallel8": round(track_rate_tp, 1),
             "realtime_factor": round(rt_factor, 3),
             "device": str(jax.devices()[0]),
         },
