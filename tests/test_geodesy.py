@@ -103,14 +103,16 @@ class TestLSQ:
         rx = np.asarray(geo2cart(40.0, -105.26, 1610.0, 5))
         clock_bias_m = 2500.0
         sats = []
-        for k in range(12):
-            eph = make_gps_eph(k + 1, 350000.0,
+        for k in range(64):
+            eph = make_gps_eph((k % 32) + 1, 350000.0,
                                m0=float(rng.uniform(0, 6)),
                                omega0=float(rng.uniform(0, 6)))
             pos, _ = sat_pos_kepler(350000.0, eph)
             _, el, _ = topocent(rx, pos - rx)
             if el > 10:
                 sats.append(pos)
+            if len(sats) >= 8:
+                break
         assert len(sats) >= 4
         sat_pos = np.stack(sats, axis=1)
         # observations consistent with solver physics (earth rotation)
