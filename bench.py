@@ -111,7 +111,7 @@ def main():
     # INTRA-chip: B concurrent blocks fill the VPU/MXU far better than one
     # serial scan.  Same total epochs, 8 blocks.
     from cusdr_tpu.parallel.timeblocks import _track_blocks
-    n_blocks = 8
+    n_blocks = 40
     epb = n_epochs // n_blocks
     blk_len = (epb + 4) * spc
     sbs = np.stack([samples[2 * b * spc:2 * (b * spc + blk_len)]
@@ -148,7 +148,7 @@ def main():
             "acq_time_s": round(t_acq, 4),
             "acq_grid_points_per_s": round(grid_points / t_acq, 1),
             "track_samples_per_s_sequential": round(track_rate_seq, 1),
-            "track_samples_per_s_timeparallel8": round(track_rate_tp, 1),
+            "track_samples_per_s_timeparallel": round(track_rate_tp, 1),
             "realtime_factor": round(rt_factor, 3),
             "device": str(jax.devices()[0]),
         },

@@ -35,16 +35,21 @@ class SynthSV:
 
 def _component(sig: SignalDef, sv: SynthSV, chip_phase: np.ndarray,
                code_elements: np.ndarray, secondary: Optional[np.ndarray],
-               nav_symbol_chips: float) -> np.ndarray:
+               nav_symbol_chips: float, periods: int = 1) -> np.ndarray:
     """Evaluate code*secondary*data at given (fractional) chip phases.
 
     The element grid is derived from the array length so mixed-rate
-    components (e.g. B1C BOC(1,1) data + BOC(6,1) pilot) coexist."""
-    epc = len(code_elements) // sig.code_length_chips
+    components (e.g. B1C BOC(1,1) data + BOC(6,1) pilot) coexist.
+    ``periods`` is the number of primary-code periods the array spans —
+    1 for every code except long pilots (GPS L2 CL: 75 periods,
+    generateCLcode.m), which advance across code periods instead of
+    repeating each one."""
+    epc = len(code_elements) // (sig.code_length_chips * periods)
     n_elem = len(code_elements)
     total_elem = np.floor(chip_phase * epc).astype(np.int64)
     vals = code_elements[total_elem % n_elem].astype(np.float32)
-    code_periods = np.floor_divide(total_elem, n_elem)
+    code_periods = np.floor_divide(total_elem,
+                                   epc * sig.code_length_chips)
     if secondary is not None:
         vals = vals * secondary[code_periods % len(secondary)]
     if sv.nav_bits is not None:
@@ -117,7 +122,9 @@ def synthesize_if(cfg, sig: SignalDef, svs: Sequence[SynthSV],
                 pilot_sv = SynthSV(**{**sv.__dict__, "nav_bits": None})
                 pilot_vals = _component(sig, pilot_sv, chip_phase,
                                         sig.pilot_code(sv.prn), psec,
-                                        nav_symbol_chips)
+                                        nav_symbol_chips,
+                                        periods=max(
+                                            sig.pilot_phase_hypotheses, 1))
                 base = (a_d * data_vals + 1j * a_p * pilot_vals)
             else:
                 base = amp * data_vals

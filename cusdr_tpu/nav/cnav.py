@@ -91,11 +91,16 @@ def _twos(val, n):
     return val - (1 << n) if val >= (1 << (n - 1)) else val
 
 
-def decode_message(bits300: np.ndarray, eph: dict):
+def decode_message(bits300: np.ndarray, eph: dict,
+                   msg_seconds: float = 12.0):
     """Decode one CRC-valid 300-bit CNAV message into ``eph``; returns
-    (message_id, tow_of_message_start)."""
+    (message_id, tow_of_message_start).
+
+    The TOW field counts from the NEXT message start; ``msg_seconds`` is
+    the message duration (12 s at 25 sps on L2C, 6 s at 50 sps on L5 —
+    GPS_L2C/include/CNAVdecoding.m vs GPS_L5C variant)."""
     mid = _get(bits300, 15, 6)
-    tow = _get(bits300, 21, 17) * 6 - 12
+    tow = _get(bits300, 21, 17) * 6 - msg_seconds
     fields = MESSAGE_FIELDS.get(mid)
     if fields:
         for name, start, n, exp, signed, factor in fields:
@@ -139,7 +144,8 @@ def encode_symbol_stream(messages, start_state_bits=None) -> np.ndarray:
     return (1 - 2 * coded.astype(np.int8))
 
 
-def decode_stream(symbols: np.ndarray, eph: dict | None = None):
+def decode_stream(symbols: np.ndarray, eph: dict | None = None,
+                  msg_seconds: float = 12.0):
     """Full CNAVdecoding.m path over ±soft symbols.
 
     Tries both G1/G2 phases, Viterbi-decodes, searches the preamble with
@@ -169,7 +175,7 @@ def decode_stream(symbols: np.ndarray, eph: dict | None = None):
                 cand = 1 - cand
             if not crc24q_check(cand):
                 continue
-            mid, tow = decode_message(cand, eph)
+            mid, tow = decode_message(cand, eph, msg_seconds)
             if first is None:
                 first = idx * 2 + phase
                 tow_first = tow

@@ -67,11 +67,13 @@ def decode_cnav(track, ch, cfg, sig):
         phase = _best_secondary_phase(i_p, C.NH10.astype(np.float64))
         sym = _symbols_from_epochs(i_p, 10, C.NH10, phase)
         epochs_per_sym = 10.0
+        msg_seconds = 6.0
     else:
         phase = 0
         sym = np.asarray(i_p, np.float64)
         epochs_per_sym = 1.0
-    eph, first, tow = cnav.decode_stream(sym)
+        msg_seconds = 12.0
+    eph, first, tow = cnav.decode_stream(sym, msg_seconds=msg_seconds)
     if not cnav.has_ephemeris(eph) or not np.isfinite(tow):
         return None, -1, np.inf
     return eph, int(phase + first * epochs_per_sym), float(tow)

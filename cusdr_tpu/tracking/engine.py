@@ -63,7 +63,10 @@ class TrackParams:
     dll_scale: float = 1.0      # discriminator scale (WB: 1-spacing)
     fast_code: bool = True      # sliced precomputed replica (TPU fast
                                 # path) instead of per-epoch gather
-    up_margin: int = 64         # replica table margin [samples]
+    up_margin: int = 96         # replica table margin [samples]
+    k_spacing: int = 1          # E-L spacing [samples] (static: round(
+                                # spacing*fs/chip_rate); loop-induced step
+                                # changes never move it by half a sample)
     pll_order: int = 2
     pf1: float = 0.0            # 3rd-order PLL gains
     pf2: float = 0.0            # (NB_tracking.m:347-349)
@@ -178,26 +181,29 @@ def _epoch_one_channel(samples_iq, sb_start, code_table, pilot_table,
     if p.fast_code:
         # TPU fast path: the replica is pre-sampled once per run at the
         # Doppler-aided code rate; per-epoch fractional code phase is
-        # realized by a dynamic slice at round(rem/step) (gathers are
-        # ~30x the cost of the whole epoch on TPU).  The f64 ``rem``
+        # realized by sub-sample interpolation.  blksize uses ceil, so
+        # rem_code_phase stays in [0, code_phase_step) and the integer
+        # sample shift is ~always 0: the E/P/L taps reduce to ONE dynamic
+        # window slice plus STATIC sub-slices XLA can fuse as views
+        # (6 dynamic slices would each be materialized).  The f64 ``rem``
         # carry stays exact; only intra-epoch chip-boundary placement is
         # quantized to the sample grid (sub-0.01-chip, zero-mean).
+        k = p.k_spacing
         shift_f = st.rem_code_phase / code_phase_step
         shift = jnp.floor(shift_f).astype(jnp.int32)
         alpha = (shift_f - jnp.floor(shift_f)).astype(jnp.float32)
-        k = jnp.round(p.spacing / code_phase_step).astype(jnp.int32)
-        start = p.up_margin + shift
+        start = p.up_margin + shift - k
+        win = jax.lax.dynamic_slice(code_table, (start,),
+                                    (p.blk + 2 * k + 1,))
 
-        def repl(delta):
-            a = jax.lax.dynamic_slice(code_table, (start + delta,),
-                                      (p.blk,))
-            b = jax.lax.dynamic_slice(code_table, (start + delta + 1,),
-                                      (p.blk,))
+        def repl(d):
+            a = jax.lax.slice(win, (d,), (d + p.blk,))
+            b = jax.lax.slice(win, (d + 1,), (d + 1 + p.blk,))
             return a + alpha * (b - a)   # sub-sample phase interpolation
 
-        early = repl(-k)
-        prompt = repl(0)
-        late = repl(k)
+        early = repl(0)
+        prompt = repl(k)
+        late = repl(2 * k)
     else:
         def chips(offset_chips):
             idx = jnp.ceil((tcode + offset_chips) * epc).astype(
@@ -244,14 +250,15 @@ def _epoch_one_channel(samples_iq, sb_start, code_table, pilot_table,
         # finer element grid (WB QMBOC BOC(6,1): 12 elements/chip,
         # WB_tracking.m:176-188)
         if p.fast_code:
-            def prepl(delta):
-                a = jax.lax.dynamic_slice(pilot_table,
-                                          (start + delta,), (p.blk,))
-                b = jax.lax.dynamic_slice(pilot_table,
-                                          (start + delta + 1,), (p.blk,))
+            pwin = jax.lax.dynamic_slice(pilot_table, (start,),
+                                         (p.blk + 2 * k + 1,))
+
+            def prepl(d):
+                a = jax.lax.slice(pwin, (d,), (d + p.blk,))
+                b = jax.lax.slice(pwin, (d + 1,), (d + 1 + p.blk,))
                 return a + alpha * (b - a)
-            pprompt = prepl(0)
-            pearly, plate = prepl(-k), prepl(k)
+            pprompt = prepl(k)
+            pearly, plate = prepl(0), prepl(2 * k)
         else:
             pepc = p.pilot_epc or epc
             pn_elem = p.code_len * pepc
@@ -333,19 +340,18 @@ def _epoch_one_channel(samples_iq, sb_start, code_table, pilot_table,
         d_carr=d_carr, d2_carr=d2_carr,
         abs_sample=st.abs_sample + blksize.astype(jnp.int64))
 
-    out = TrackOutputs(
-        i_e=i_e, q_e=q_e, i_p=i_p, q_p=q_p, i_l=i_l, q_l=q_l,
-        pilot_ip=pi_p, pilot_qp=pq_p,
-        carr_freq=st.carr_freq.astype(jnp.float64),
-        code_freq=st.code_freq.astype(jnp.float64),
-        dll_discr=code_err.astype(jnp.float32),
-        dll_filt=code_nco.astype(jnp.float32),
-        pll_discr=carr_err.astype(jnp.float32),
-        pll_filt=carr_nco.astype(jnp.float32),
-        rem_code_phase=st.rem_code_phase,
-        rem_carr_phase=st.rem_carr_phase,
-        abs_sample=st.abs_sample, blksize=blksize)
-    return new_state, out
+    # outputs packed into 3 dtype-homogeneous vectors (one scan
+    # dynamic-update-slice each instead of 18 — the per-step DUS ops were
+    # ~1/4 of tracking wall time); track_superblock unpacks after the scan
+    out_f32 = jnp.stack([
+        i_e, q_e, i_p, q_p, i_l, q_l, pi_p, pq_p,
+        code_err.astype(jnp.float32), code_nco.astype(jnp.float32),
+        carr_err.astype(jnp.float32), carr_nco.astype(jnp.float32)])
+    out_f64 = jnp.stack([st.carr_freq, st.code_freq,
+                         st.rem_code_phase, st.rem_carr_phase])
+    out_i64 = jnp.stack([st.abs_sample,
+                         blksize.astype(jnp.int64)])
+    return new_state, (out_f32, out_f64, out_i64)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "n_epochs"))
@@ -360,13 +366,26 @@ def track_superblock(samples_iq, sb_start, code_tables, pilot_tables,
     Returns (new_state, TrackOutputs with [n_epochs, C] leaves).
     """
     vm = jax.vmap(_epoch_one_channel,
-                  in_axes=(None, None, 0, 0, 0, None))
+                  in_axes=(None, None, 0, 0, 0, None),
+                  out_axes=(0, (1, 1, 1)))
 
     def step(st, _):
         return vm(samples_iq, sb_start, code_tables, pilot_tables, st,
                   params)
 
-    return jax.lax.scan(step, state, None, length=n_epochs)
+    new_state, (o32, o64, oi) = jax.lax.scan(step, state, None,
+                                             length=n_epochs)
+    # o32: [E, 12, C]; o64: [E, 4, C]; oi: [E, 2, C]
+    outs = TrackOutputs(
+        i_e=o32[:, 0], q_e=o32[:, 1], i_p=o32[:, 2], q_p=o32[:, 3],
+        i_l=o32[:, 4], q_l=o32[:, 5],
+        pilot_ip=o32[:, 6], pilot_qp=o32[:, 7],
+        dll_discr=o32[:, 8], dll_filt=o32[:, 9],
+        pll_discr=o32[:, 10], pll_filt=o32[:, 11],
+        carr_freq=o64[:, 0], code_freq=o64[:, 1],
+        rem_code_phase=o64[:, 2], rem_carr_phase=o64[:, 3],
+        abs_sample=oi[:, 0], blksize=oi[:, 1])
+    return new_state, outs
 
 
 # --------------------------------------------------------------------------
@@ -464,7 +483,7 @@ def make_track_params(cfg, sig: SignalDef) -> TrackParams:
         / sig.chip_rate_hz
     fast = k_nominal >= 0.5
     return TrackParams(
-        fast_code=fast,
+        fast_code=fast, k_spacing=max(int(round(k_nominal)), 1),
         fs=cfg.sampling_freq, code_len=sig.code_length_chips,
         elements_per_chip=sig.elements_per_chip,
         code_freq_basis=sig.chip_rate_hz,
