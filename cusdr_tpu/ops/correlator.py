@@ -1,0 +1,147 @@
+"""Fused Pallas TPU epoch-correlator kernel.
+
+One kernel evaluates, for a bank of channels, everything the tracking
+epoch does per sample — int8→f32 conversion, carrier synthesis from the
+split-index phase ramp, sub-sample replica interpolation (static slices),
+edge masking — and reduces to the E/P/L (± pilot) correlator sums.  This
+replaces ~10 separate XLA fusions per scan step whose intermediates each
+round-trip VMEM/HBM; measured ~0.59 ns per channel-sample on TPU v5e
+(near the VPU throughput bound for the ~30-op/sample sequence).
+
+Reference semantics: the six correlator sums of
+GPS/GPS_L1CA/include/tracking.m:280-300 (carrier wipe-off + dot products)
+plus the π/2-rotated pilot correlators of the data+pilot receivers
+(GPS_L5C/include/tracking.m:334-345).
+
+Channel-bank layout: all arrays are [C, ...] with C a multiple of 8
+(the f32 sublane tile); the kernel grids over 8-channel chunks so VMEM
+stays bounded and Mosaic double-buffers the next chunk's DMA while
+computing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TWO_PI = np.float32(2.0 * np.pi)
+
+CHANNEL_BLOCK = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=64)
+def _build_call(blk_pad: int, wlen: int, k: int, has_pilot: bool,
+                interpret: bool):
+    n_out = 16 if has_pilot else 8
+
+    def kernel(*refs):
+        if has_pilot:
+            (alpha_r, remc_r, shi_r, slo_r, bsz_r,
+             si_r, sq_r, wt_r, wp_r, out_r) = refs
+        else:
+            (alpha_r, remc_r, shi_r, slo_r, bsz_r,
+             si_r, sq_r, wt_r, out_r) = refs
+        cb = si_r.shape[0]
+        si = si_r[:].astype(jnp.float32)
+        sq = sq_r[:].astype(jnp.float32)
+        # split-index phase ramp (engine._epoch_one_channel): n = 256*hi+lo
+        # keeps the f32 products small enough for ~1e-5-cycle phase error
+        n_f = jax.lax.broadcasted_iota(jnp.int32, (1, blk_pad),
+                                       1).astype(jnp.float32)
+        n_hi = jnp.floor(n_f * jnp.float32(1.0 / 256.0))
+        n_lo = n_f - jnp.float32(256.0) * n_hi
+        cyc = remc_r[:] + shi_r[:] * n_hi + slo_r[:] * n_lo
+        ph = (cyc - jnp.floor(cyc)) * _TWO_PI
+        cosw = jnp.cos(ph)
+        sinw = jnp.sin(ph)
+        mask = (n_f < bsz_r[:]).astype(jnp.float32)
+        bb_i = (si * cosw + sq * sinw) * mask
+        bb_q = (sq * cosw - si * sinw) * mask
+
+        alpha = alpha_r[:]
+
+        def taps(w_r):
+            def repl(d):
+                a = w_r[:, d:d + blk_pad].astype(jnp.float32)
+                b = w_r[:, d + 1:d + 1 + blk_pad].astype(jnp.float32)
+                return a + alpha * (b - a)
+            return repl(0), repl(k), repl(2 * k)
+
+        early, prompt, late = taps(wt_r)
+
+        def s(x):
+            return jnp.sum(x, axis=1, keepdims=True)
+
+        cols = [s(early * bb_i), s(early * bb_q),
+                s(prompt * bb_i), s(prompt * bb_q),
+                s(late * bb_i), s(late * bb_q)]
+        z = jnp.zeros((cb, 1), jnp.float32)
+        if has_pilot:
+            pe, pp, plate = taps(wp_r)
+            # pilot carrier rotated by π/2: exp(-j(φ-π/2))·s = j·bb
+            pb_i, pb_q = -bb_q, bb_i
+            cols += [s(pe * pb_i), s(pe * pb_q),
+                     s(pp * pb_i), s(pp * pb_q),
+                     s(plate * pb_i), s(plate * pb_q), z, z, z, z]
+        else:
+            cols += [z, z]
+        out_r[:] = jnp.concatenate(cols, axis=1)
+
+    cb = CHANNEL_BLOCK
+
+    def vec():
+        return pl.BlockSpec((cb, 1), lambda i: (i, i * 0),
+                            memory_space=pltpu.VMEM)
+
+    def mat(w):
+        return pl.BlockSpec((cb, w), lambda i: (i, i * 0),
+                            memory_space=pltpu.VMEM)
+
+    def call(alpha, remc, shi, slo, bsz, si, sq, wt, wp=None):
+        c = si.shape[0]
+        assert c % cb == 0, c
+        in_specs = [vec()] * 5 + [mat(blk_pad), mat(blk_pad), mat(wlen)]
+        args = [alpha, remc, shi, slo, bsz, si, sq, wt]
+        if has_pilot:
+            in_specs.append(mat(wlen))
+            args.append(wp)
+        return pl.pallas_call(
+            kernel,
+            grid=(c // cb,),
+            out_shape=jax.ShapeDtypeStruct((c, n_out), jnp.float32),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((cb, n_out), lambda i: (i, i * 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(*args)
+
+    return call
+
+
+def correlate_bank(alpha, remc, shi, slo, bsz, si, sq, wt, wp=None,
+                   *, k: int, interpret: bool = False):
+    """Correlator sums for a channel bank.
+
+    alpha/remc/shi/slo/bsz: [C, 1] f32 per-channel scalars — replica
+      interpolation fraction, carrier phase (cycles), 256·step and step
+      (cycles/sample, mod 1), valid-sample count
+    si/sq: [C, blk_pad] int8 sample windows (blk_pad % 128 == 0)
+    wt/wp: [C, wlen] int8 replica windows (wlen % 128 == 0, covering
+      blk_pad + 2k + 1 from tap -k)
+    Returns [C, 8] (or [C, 16] with pilot) f32:
+      iE qE iP qP iL qL [piE pqE piP pqP piL pqL] 0-pad.
+    """
+    blk_pad = si.shape[1]
+    wlen = wt.shape[1]
+    call = _build_call(blk_pad, wlen, int(k), wp is not None,
+                       bool(interpret))
+    return call(alpha, remc, shi, slo, bsz, si, sq, wt, wp)

@@ -52,16 +52,12 @@ def shard_channel_bank(state: ChannelState, code_tables, pilot_tables,
 def tracking_step_sharded(samples_iq, sb_start, code_tables, pilot_tables,
                           state: ChannelState, params: TrackParams,
                           n_epochs: int):
-    """Identical math to tracking.engine.track_superblock; sharding of the
-    channel axis comes from the argument placements (GSPMD partitions the
-    vmap across the mesh)."""
-    vm = jax.vmap(_epoch_one_channel, in_axes=(None, None, 0, 0, 0, None))
-
-    def step(st, _):
-        return vm(samples_iq, sb_start, code_tables, pilot_tables, st,
-                  params)
-
-    return jax.lax.scan(step, state, None, length=n_epochs)
+    """tracking.engine.track_superblock with the channel axis sharded by
+    argument placement (GSPMD partitions the vmapped epoch across the
+    mesh); delegates so the packed-output/Pallas paths stay in sync."""
+    from ..tracking.engine import track_superblock
+    return track_superblock(samples_iq, sb_start, code_tables,
+                            pilot_tables, state, params, n_epochs)
 
 
 @functools.partial(jax.jit, static_argnames=("n_comp", "search_len"))

@@ -117,7 +117,7 @@ def track_time_parallel(cfg, sig: SignalDef, samples_iq: np.ndarray,
     states, starts = predict_block_states(channels, cfg, sig, n_blocks,
                                           epochs_per_block)
     # per-block sample windows (with tail margin)
-    blk_len = (epochs_per_block + 3) * spc + params.blk
+    blk_len = (epochs_per_block + 3) * spc + params.blk + 256
     total = len(samples_iq) // 2
     sb = np.zeros((n_blocks, 2 * blk_len), np.int8)
     sb_start = np.zeros(n_blocks, np.int64)

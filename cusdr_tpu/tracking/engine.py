@@ -63,7 +63,7 @@ class TrackParams:
     dll_scale: float = 1.0      # discriminator scale (WB: 1-spacing)
     fast_code: bool = True      # sliced precomputed replica (TPU fast
                                 # path) instead of per-epoch gather
-    up_margin: int = 96         # replica table margin [samples]
+    up_margin: int = 384        # replica table margin [samples]
     k_spacing: int = 1          # E-L spacing [samples] (static: round(
                                 # spacing*fs/chip_rate); loop-induced step
                                 # changes never move it by half a sample)
@@ -71,6 +71,8 @@ class TrackParams:
     pf1: float = 0.0            # 3rd-order PLL gains
     pf2: float = 0.0            # (NB_tracking.m:347-349)
     pf3: float = 0.0
+    use_pallas: bool = False    # fused Pallas correlator bank (TPU)
+    pallas_interpret: bool = False   # interpreter mode (CPU parity tests)
 
 
 class ChannelState(NamedTuple):
@@ -197,8 +199,9 @@ def _epoch_one_channel(samples_iq, sb_start, code_table, pilot_table,
                                     (p.blk + 2 * k + 1,))
 
         def repl(d):
-            a = jax.lax.slice(win, (d,), (d + p.blk,))
-            b = jax.lax.slice(win, (d + 1,), (d + 1 + p.blk,))
+            a = jax.lax.slice(win, (d,), (d + p.blk,)).astype(jnp.float32)
+            b = jax.lax.slice(win, (d + 1,),
+                              (d + 1 + p.blk,)).astype(jnp.float32)
             return a + alpha * (b - a)   # sub-sample phase interpolation
 
         early = repl(0)
@@ -254,8 +257,10 @@ def _epoch_one_channel(samples_iq, sb_start, code_table, pilot_table,
                                          (p.blk + 2 * k + 1,))
 
             def prepl(d):
-                a = jax.lax.slice(pwin, (d,), (d + p.blk,))
-                b = jax.lax.slice(pwin, (d + 1,), (d + 1 + p.blk,))
+                a = jax.lax.slice(pwin, (d,),
+                                  (d + p.blk,)).astype(jnp.float32)
+                b = jax.lax.slice(pwin, (d + 1,),
+                                  (d + 1 + p.blk,)).astype(jnp.float32)
                 return a + alpha * (b - a)
             pprompt = prepl(k)
             pearly, plate = prepl(0), prepl(2 * k)
@@ -280,10 +285,20 @@ def _epoch_one_channel(samples_iq, sb_start, code_table, pilot_table,
         pi_e, pq_e = psums[0, 0], psums[0, 1]
         pi_p, pq_p = psums[1, 0], psums[1, 1]
         pi_l, pq_l = psums[2, 0], psums[2, 1]
-    else:
-        pi_p = jnp.float32(0.0)
-        pq_p = jnp.float32(0.0)
+    if not p.has_pilot:
+        z = jnp.float32(0.0)
+        pi_e = pq_e = pi_p = pq_p = pi_l = pq_l = z
+    return _close_epoch(st, p, blksize, code_phase_step, inc,
+                        i_e, q_e, i_p, q_p, i_l, q_l,
+                        pi_e, pq_e, pi_p, pq_p, pi_l, pq_l)
 
+
+def _close_epoch(st, p: TrackParams, blksize, code_phase_step, inc,
+                 i_e, q_e, i_p, q_p, i_l, q_l,
+                 pi_e, pq_e, pi_p, pq_p, pi_l, pq_l):
+    """Discriminators, loop filters and state/output packing — shared by
+    the per-channel XLA epoch (scalars, under vmap) and the Pallas bank
+    epoch ([C] vectors); all ops are elementwise."""
     # ---- phase carries (tracking.m:273,283) -------------------------------
     bsf = blksize.astype(jnp.float64)
     rem_code = (st.rem_code_phase + bsf * code_phase_step) - p.code_len
@@ -354,6 +369,67 @@ def _epoch_one_channel(samples_iq, sb_start, code_table, pilot_table,
     return new_state, (out_f32, out_f64, out_i64)
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start, code_tables,
+                       pilot_tables, st: ChannelState, p: TrackParams):
+    """One epoch for the whole channel bank via the fused Pallas
+    correlator (ops/correlator.py).  XLA does only the dynamic window
+    slices and the f64 scalar loop updates; everything per-sample runs
+    in one kernel.  State leaves are [C] (C a multiple of 8)."""
+    from ..ops.correlator import correlate_bank
+
+    k = p.k_spacing
+    blk_pad = _round_up(p.blk, 128)
+    wlen = _round_up(blk_pad + 2 * k + 2, 128)
+
+    code_phase_step = st.code_freq / p.fs          # f64 [C]
+    blksize = jnp.ceil((p.code_len - st.rem_code_phase)
+                       / code_phase_step).astype(jnp.int32)
+    blksize = jnp.minimum(blksize, p.blk)
+
+    off = (st.abs_sample - sb_start).astype(jnp.int32)
+    si = jax.vmap(lambda o: jax.lax.dynamic_slice(
+        sig_i_all, (o,), (blk_pad,)))(off)
+    sq = jax.vmap(lambda o: jax.lax.dynamic_slice(
+        sig_q_all, (o,), (blk_pad,)))(off)
+
+    shift_f = st.rem_code_phase / code_phase_step
+    shift = jnp.floor(shift_f).astype(jnp.int32)
+    alpha = (shift_f - jnp.floor(shift_f)).astype(jnp.float32)
+    start = p.up_margin + shift - k
+    wt = jax.vmap(lambda t, s0: jax.lax.dynamic_slice(
+        t, (s0,), (wlen,)))(code_tables, start)
+    wp = None
+    if p.has_pilot:
+        wp = jax.vmap(lambda t, s0: jax.lax.dynamic_slice(
+            t, (s0,), (wlen,)))(pilot_tables, start)
+
+    inc = _TWO_PI * st.carr_freq / p.fs            # f64 [C]
+    inc_c = st.carr_freq / p.fs
+    shi = jnp.mod(inc_c * 256.0, 1.0).astype(jnp.float32)
+    slo = jnp.mod(inc_c, 1.0).astype(jnp.float32)
+    remc = jnp.mod(st.rem_carr_phase / _TWO_PI, 1.0).astype(jnp.float32)
+
+    col = lambda x: x[:, None]
+    out = correlate_bank(col(alpha), col(remc), col(shi), col(slo),
+                         col(blksize.astype(jnp.float32)),
+                         si, sq, wt, wp, k=k,
+                         interpret=p.pallas_interpret)
+    i_e, q_e, i_p, q_p, i_l, q_l = (out[:, j] for j in range(6))
+    if p.has_pilot:
+        pi_e, pq_e, pi_p, pq_p, pi_l, pq_l = (out[:, 6 + j]
+                                              for j in range(6))
+    else:
+        z = jnp.zeros_like(i_e)
+        pi_e = pq_e = pi_p = pq_p = pi_l = pq_l = z
+    return _close_epoch(st, p, blksize, code_phase_step, inc,
+                        i_e, q_e, i_p, q_p, i_l, q_l,
+                        pi_e, pq_e, pi_p, pq_p, pi_l, pq_l)
+
+
 @functools.partial(jax.jit, static_argnames=("params", "n_epochs"))
 def track_superblock(samples_iq, sb_start, code_tables, pilot_tables,
                      state: ChannelState, params: TrackParams,
@@ -365,16 +441,40 @@ def track_superblock(samples_iq, sb_start, code_tables, pilot_tables,
     code_tables/pilot_tables: [C, E] int8 element tables
     Returns (new_state, TrackOutputs with [n_epochs, C] leaves).
     """
-    vm = jax.vmap(_epoch_one_channel,
-                  in_axes=(None, None, 0, 0, 0, None),
-                  out_axes=(0, (1, 1, 1)))
+    n_ch = state.carr_freq.shape[0]
+    use_pallas = params.use_pallas and params.fast_code
+    if use_pallas:
+        from ..ops.correlator import CHANNEL_BLOCK
+        pad = (-n_ch) % CHANNEL_BLOCK
+        if pad:
+            # edge-replicate dummy channels; their work is discarded
+            state = jax.tree.map(
+                lambda x: jnp.concatenate([x] + [x[-1:]] * pad), state)
+            code_tables = jnp.concatenate(
+                [code_tables] + [code_tables[-1:]] * pad)
+            pilot_tables = jnp.concatenate(
+                [pilot_tables] + [pilot_tables[-1:]] * pad)
+        sig_i_all = samples_iq[0::2]
+        sig_q_all = samples_iq[1::2]
 
-    def step(st, _):
-        return vm(samples_iq, sb_start, code_tables, pilot_tables, st,
-                  params)
+        def step(st, _):
+            return _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start,
+                                      code_tables, pilot_tables, st,
+                                      params)
+    else:
+        vm = jax.vmap(_epoch_one_channel,
+                      in_axes=(None, None, 0, 0, 0, None),
+                      out_axes=(0, (1, 1, 1)))
+
+        def step(st, _):
+            return vm(samples_iq, sb_start, code_tables, pilot_tables,
+                      st, params)
 
     new_state, (o32, o64, oi) = jax.lax.scan(step, state, None,
                                              length=n_epochs)
+    if use_pallas and (-n_ch) % 8:
+        new_state = jax.tree.map(lambda x: x[:n_ch], new_state)
+        o32, o64, oi = (x[:, :, :n_ch] for x in (o32, o64, oi))
     # o32: [E, 12, C]; o64: [E, 4, C]; oi: [E, 2, C]
     outs = TrackOutputs(
         i_e=o32[:, 0], q_e=o32[:, 1], i_p=o32[:, 2], q_p=o32[:, 3],
@@ -421,8 +521,8 @@ def build_replica_tables(cfg, sig: SignalDef, params: TrackParams,
     m0 = params.up_margin
     length = params.blk + 2 * m0
     c = len(channels)
-    ctabs = np.empty((c, length), np.float32)
-    ptabs = np.zeros((c, length), np.float32)
+    ctabs = np.empty((c, length), np.int8)
+    ptabs = np.zeros((c, length), np.int8)
     use_wb = (cfg.pilot_trk_flag == 2 and sig.pilot_code_wb is not None)
     pfn = sig.pilot_code_wb if use_wb else sig.pilot_code
     for k, ch in enumerate(channels):
@@ -443,11 +543,13 @@ def build_replica_tables(cfg, sig: SignalDef, params: TrackParams,
 
 def sample_code_any(elements, code_len_chips, code_freq, fs, n, phase0):
     """Nearest-element sampling with the element grid derived from the
-    array length (handles BOC(6,1) etc.)."""
+    array length (handles BOC(6,1) etc.).  int8: codes are exactly ±1
+    (0 in TMRZ slots), and int8 tables quarter the per-epoch HBM read
+    traffic of the replica windows."""
     epc = len(elements) // code_len_chips
     idx = np.floor((phase0 + np.arange(n) * (code_freq / fs))
                    * epc).astype(np.int64) % len(elements)
-    return elements[idx].astype(np.float32)
+    return elements[idx].astype(np.int8)
 
 
 def make_track_params(cfg, sig: SignalDef) -> TrackParams:
@@ -550,7 +652,8 @@ def track(cfg, sig: SignalDef, samples_iq: np.ndarray,
     while done < n_epochs:
         cur = min(sb_epochs, n_epochs - done)
         sb_start = int(np.min(np.asarray(state.abs_sample)))
-        sb_len = max_phase - sb_start + (cur + 3) * spc + params.blk
+        sb_len = (max_phase - sb_start + (cur + 3) * spc + params.blk
+                  + 256)
         sb_len = min(sb_len, total_samples - sb_start)
         sb = jnp.asarray(samples_iq[2 * sb_start:2 * (sb_start + sb_len)])
         state, outs = track_superblock(

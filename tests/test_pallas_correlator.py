@@ -1,0 +1,72 @@
+"""Parity: the fused Pallas correlator bank (interpret mode on CPU) must
+match the XLA per-channel epoch path bit-for-bit in structure and to f32
+rounding in values, including the pilot variant."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from cusdr_tpu import get_config
+from cusdr_tpu.signals.defs import get_signal
+from cusdr_tpu.tracking.engine import (build_replica_tables,
+                                       init_channel_state,
+                                       make_track_params,
+                                       track_superblock)
+
+
+@pytest.mark.parametrize("signal,fs,has_pilot", [
+    ("gps_l1ca", 2.048e6, False),
+    ("gal_e5a", 12.288e6, True),
+])
+def test_pallas_matches_xla(signal, fs, has_pilot):
+    cfg = get_config(signal, sampling_freq=fs, if_freq=7000.0)
+    if has_pilot:
+        cfg = cfg.replace(pilot_trk_flag=1)
+    sig = get_signal(signal)
+    params = make_track_params(cfg, sig)
+    if not params.fast_code:
+        pytest.skip("exact path signal")
+    spc = cfg.samples_per_code
+    n_epochs = 12
+    n_ch = 3   # exercises padding to the 8-channel block
+    rng = np.random.default_rng(7)
+    samples = rng.integers(-16, 16, 2 * (n_epochs + 4) * spc).astype(
+        np.int8)
+    channels = [(1 + k, 7000.0 + 200.0 * k, 101 + 37 * k)
+                for k in range(n_ch)]
+    dops = [c[1] - cfg.if_freq for c in channels]
+    ctabs, ptabs = build_replica_tables(cfg, sig, params, channels, dops)
+    state = init_channel_state(channels, sig.chip_rate_hz, dopplers=dops,
+                               carrier_freq_hz=sig.carrier_freq_hz)
+
+    import jax.numpy as jnp
+    sd = jnp.asarray(samples)
+    ct = jnp.asarray(ctabs)
+    pt = jnp.asarray(ptabs)
+
+    p_xla = dataclasses.replace(params, use_pallas=False)
+    p_pl = dataclasses.replace(params, use_pallas=True,
+                               pallas_interpret=True)
+
+    st_x, out_x = track_superblock(sd, jnp.int64(0), ct, pt, state,
+                                   p_xla, n_epochs)
+    st_p, out_p = track_superblock(sd, jnp.int64(0), ct, pt, state,
+                                   p_pl, n_epochs)
+
+    for name in ("i_e", "q_e", "i_p", "q_p", "i_l", "q_l",
+                 "pilot_ip", "pilot_qp"):
+        a = np.asarray(getattr(out_x, name))
+        b = np.asarray(getattr(out_p, name))
+        scale = np.abs(a).max() + 1.0
+        assert np.allclose(a, b, atol=2e-4 * scale), (
+            name, np.abs(a - b).max(), scale)
+    # loop state converges identically to f32 rounding of the correlators
+    for name in ("carr_freq", "code_freq", "rem_code_phase",
+                 "rem_carr_phase"):
+        a = np.asarray(getattr(st_x, name))
+        b = np.asarray(getattr(st_p, name))
+        assert np.allclose(a, b, rtol=1e-6, atol=1e-6), (name, a, b)
+    assert np.array_equal(np.asarray(st_x.abs_sample),
+                          np.asarray(st_p.abs_sample))
