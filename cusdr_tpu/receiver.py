@@ -228,10 +228,19 @@ class Receiver:
 
     def run(self, samples_iq: Optional[np.ndarray] = None,
             n_epochs: Optional[int] = None) -> ReceiverResults:
-        """samples_iq: int8 interleaved I/Q; falls back to cfg.file_name."""
+        """samples_iq: interleaved I/Q (int8 or int16, cfg.data_type) or,
+        for cfg.file_type == 1, a real sample stream; falls back to
+        cfg.file_name.  Real streams are processed as I + j·0 — the
+        carrier mix then selects the +IF signal exactly as the
+        reference's real branch does (postProcessing.m:92-96, the image
+        at −IF is out of the correlator band)."""
         cfg = self.cfg
         if samples_iq is None:
             samples_iq = read_if_file(cfg.file_name, cfg)
+        if cfg.file_type == 1:
+            inter = np.zeros(2 * len(samples_iq), samples_iq.dtype)
+            inter[0::2] = samples_iq
+            samples_iq = inter
         spc = cfg.samples_per_code
 
         # acquisition on the leading samples (postProcessing.m:88-100)
