@@ -27,6 +27,10 @@ def _add_common(p):
     p.add_argument("--if-freq", type=float, help="override IF [Hz]")
     p.add_argument("--ms", type=int, help="ms to process")
     p.add_argument("--skip-bytes", type=int, default=0)
+    p.add_argument("--prns", help="comma-separated PRN (or FDMA channel) "
+                                  "search list (setSettings.m:191-196)")
+    p.add_argument("--acq-threshold", type=float,
+                   help="override acquisition threshold")
 
 
 def main(argv=None):
@@ -43,6 +47,11 @@ def main(argv=None):
     p.add_argument("--skip-acquisition", metavar="ACQ_NPZ",
                    help="reuse a saved acquisition checkpoint")
     p.add_argument("--no-plots", action="store_true")
+    p.add_argument("--profile", metavar="TRACE_DIR", default=None,
+                   help="capture a jax.profiler device trace of the "
+                        "tracking stage into this directory")
+    p.add_argument("--timing", action="store_true",
+                   help="print the per-stage timing table at the end")
 
     sub.add_parser("signals", help="list registered signals")
 
@@ -65,6 +74,11 @@ def main(argv=None):
         over["if_freq"] = args.if_freq
     if args.ms:
         over["ms_to_process"] = args.ms
+    if args.prns:
+        over["acq_satellite_list"] = tuple(
+            int(x) for x in args.prns.split(","))
+    if args.acq_threshold is not None:
+        over["acq_threshold"] = args.acq_threshold
     over["skip_number_of_bytes"] = args.skip_bytes
     over["file_name"] = args.file
     cfg = get_config(args.signal, **over)
@@ -93,8 +107,11 @@ def main(argv=None):
     from .signals.defs import get_signal
     from .tracking import track
 
+    from .runtime.profiling import StageTimer, device_trace
+
     sig = get_signal(cfg.signal)
     rx = Receiver(cfg)
+    timer = StageTimer(sampling_freq=cfg.sampling_freq)
     t0 = time.time()
 
     if args.skip_acquisition:
@@ -106,7 +123,8 @@ def main(argv=None):
         n_acq = (cfg.acq_non_coh_time + 45) * spc
         acq_sig = (samples[0:2 * n_acq:2].astype(np.float32)
                    + 1j * samples[1:2 * n_acq:2].astype(np.float32))
-        acq = acquire(cfg, sig, acq_sig)
+        with timer.stage("acquisition", samples=n_acq):
+            acq = acquire(cfg, sig, acq_sig)
         checkpoint.save_acquisition(out / "acqResults.npz", acq)
         print(f"acquisition done in {time.time() - t0:.1f}s -> "
               f"{out / 'acqResults.npz'}")
@@ -120,13 +138,16 @@ def main(argv=None):
     t0 = time.time()
     n_epochs = int(cfg.ms_to_process / sig.code_period_ms) \
         if cfg.ms_to_process else None
-    trk = track(cfg, sig, samples, channels, n_epochs=n_epochs)
+    with device_trace(args.profile), \
+            timer.stage("tracking", samples=len(samples) // 2):
+        trk = track(cfg, sig, samples, channels, n_epochs=n_epochs)
     checkpoint.save_tracking(out / "trkResults.npz", trk)
     print(f"tracking done in {time.time() - t0:.1f}s -> "
           f"{out / 'trkResults.npz'}")
 
     t0 = time.time()
-    nav = nav_solve(cfg, sig, trk)
+    with timer.stage("navigation"):
+        nav = nav_solve(cfg, sig, trk)
     if nav is None:
         print("no navigation solution (too few decoded channels)")
     else:
@@ -145,6 +166,11 @@ def main(argv=None):
             plot_navigation(nav).savefig(out / "navigation.png", dpi=110)
             sky_plot(nav, trk.prns).savefig(out / "skyplot.png", dpi=110)
         print(f"plots written to {out}/")
+    if args.timing:
+        print(timer.report())
+    if args.profile:
+        print(f"device trace written to {args.profile} "
+              f"(view with tensorboard/xprof)")
     return 0
 
 

@@ -17,11 +17,14 @@ from .acquisition.pcps import AcquisitionResult
 
 
 def save_acquisition(path, acq: AcquisitionResult):
+    extra = {}
+    if acq.pilot_phase is not None:
+        extra["pilot_phase"] = acq.pilot_phase
     np.savez_compressed(path, prns=acq.prns, carr_freq=acq.carr_freq,
                         code_phase=acq.code_phase,
                         peak_metric=acq.peak_metric,
                         detected=acq.detected,
-                        coarse_freq=acq.coarse_freq)
+                        coarse_freq=acq.coarse_freq, **extra)
 
 
 def load_acquisition(path) -> AcquisitionResult:
@@ -30,7 +33,10 @@ def load_acquisition(path) -> AcquisitionResult:
                              code_phase=d["code_phase"],
                              peak_metric=d["peak_metric"],
                              detected=d["detected"],
-                             coarse_freq=d["coarse_freq"])
+                             coarse_freq=d["coarse_freq"],
+                             pilot_phase=(d["pilot_phase"]
+                                          if "pilot_phase" in d.files
+                                          else None))
 
 
 def save_tracking(path, track_res):
