@@ -67,11 +67,17 @@ class AcquisitionResult:
                                             # (L2C CL period index)
 
     def best_channels(self, n: int):
-        """PRNs sorted by peak metric, detected first (preRun.m:60-72)."""
+        """PRNs sorted by peak metric, detected first (preRun.m:60-72).
+
+        Tuples are (prn, carr_freq, code_phase, pilot_phase) — the 4th
+        element seeds the long-pilot period counter (L2C CLCodePhase,
+        GPS_L2C/include/tracking.m:161-163)."""
         order = np.argsort(-self.peak_metric)
         order = [i for i in order if self.detected[i]][:n]
+        pp = self.pilot_phase if self.pilot_phase is not None \
+            else np.zeros(len(self.prns), np.int64)
         return [(int(self.prns[i]), float(self.carr_freq[i]),
-                 int(self.code_phase[i])) for i in order]
+                 int(self.code_phase[i]), int(pp[i])) for i in order]
 
 
 # --------------------------------------------------------------------------

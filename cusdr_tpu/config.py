@@ -69,6 +69,15 @@ class ReceiverConfig:
     acq_metric: str = "glrt"            # 'glrt' | 'second_peak'
                                         # (L2C/B1I use peak ratios)
     fine_search_step: float = 25.0      # fine Doppler step [Hz] (acquisition.m:138)
+    fine_n_codes: int = 0               # fine-stage coherent code periods
+                                        # (0 = auto ~40 ms; E5a: 100 -> 100 ms
+                                        # fully coherent, GAL_E5a/include/
+                                        # acquisition.m:145-157)
+    acq_method: str = "pcps"            # 'pcps' = per-bin carrier mixing;
+                                        # 'circshift' = one signal FFT, Doppler
+                                        # via spectrum bin rotation + sub-bin
+                                        # mixes (GPS_L2C/include/
+                                        # acquisition.m:25,71-84)
 
     # --- tracking loops (initSettings.m:96-105) -------------------------------
     dll_damping_ratio: float = 0.7
@@ -79,6 +88,13 @@ class ReceiverConfig:
     int_time: float = 0.001             # DLL/PLL integration time [s]
     pll_order: int = 2                  # 2 = calcLoopCoef, 3 = calcLoopCoefCarr
     pilot_trk_flag: int = 0             # 0=data only, 1=data+pilot (B1C: 1=NB, 2=WB)
+    loop_design: str = "reference"      # 'reference' = calcLoopCoef.m discrete
+                                        # update (unstable for BL*T >~ 0.17);
+                                        # 'exact' = pole-placement digital design
+                                        # (loop_filters.calc_loop_coef_exact),
+                                        # stable at any BL*T, identical as T->0
+    lock_detect: bool = False           # drop channels on PLL loss of lock
+    lock_threshold: float = 0.3         # NBD/NBP gate (Calc_CNo_PLD.m:65-73)
 
     # --- navigation solution (initSettings.m:106-121) -------------------------
     nav_sol_period_ms: int = 500
@@ -101,6 +117,18 @@ class ReceiverConfig:
     # --- TPU-build extras -----------------------------------------------------
     superblock_ms: int = 1000           # samples staged to device per scan
     track_block_pad: int = 8            # extra samples per epoch block
+    use_pallas: Optional[bool] = None   # fused Pallas correlator bank;
+                                        # None = auto (on for TPU backends,
+                                        # XLA fallback elsewhere)
+    time_blocks: int = 0                # >1: time-parallel tracking over this
+                                        # many concurrent blocks (parallel/
+                                        # timeblocks.py); 0/1 = sequential
+    handoff_iters: int = 1              # time-parallel state-handoff rounds
+                                        # (block k's final loop state becomes
+                                        # block k+1's start; 0 = predict-only)
+    settle_epochs: int = 200            # epochs masked from measurement after
+                                        # each block boundary when
+                                        # handoff_iters == 0
 
     # -------------------------------------------------------------------------
     @property
@@ -153,11 +181,16 @@ def gps_l2c() -> ReceiverConfig:
         signal="gps_l2c", sampling_freq=8e6, if_freq=20e3,
         code_freq_basis=0.5115e6, code_length=10_230, num_channels=12,
         acq_search_band=10_000.0, acq_threshold=1.5,
-        acq_metric="second_peak",
+        acq_metric="second_peak", acq_method="circshift",
         acq_coh_time=20, acq_non_coh_time=1, acq_search_step=12.5,
         resampling_threshold=6e6,
         dll_noise_bandwidth=4.0, dll_correlator_spacing=0.25,
+        # PLL 10 Hz x 20 ms (BL*T = 0.2): the reference's calcLoopCoef
+        # discrete update is linearly UNSTABLE at its own preset
+        # (tests/test_loop_design.py proves it); the pole-placement
+        # design tracks at the specified bandwidth.
         pll_noise_bandwidth=10.0, int_time=0.020, pilot_trk_flag=0,
+        loop_design="exact",
     )
 
 
@@ -196,6 +229,9 @@ def gal_e5a() -> ReceiverConfig:
         acq_satellite_list=tuple(range(1, 37)),
         acq_search_band=5000.0, acq_non_coh_time=15, acq_threshold=4.5,
         acq_search_step=500.0,
+        # fine stage: 100 ms fully coherent with CS100 wipe-off at 5 Hz
+        # bins (GAL_E5a/include/acquisition.m:145-157,229-253)
+        fine_search_step=5.0, fine_n_codes=100,
         dll_noise_bandwidth=1.5, dll_correlator_spacing=0.5,
         pll_noise_bandwidth=15.0, int_time=0.001, pilot_trk_flag=1,
     )

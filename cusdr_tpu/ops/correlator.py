@@ -40,12 +40,12 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.lru_cache(maxsize=64)
 def _build_call(blk_pad: int, wlen: int, k: int, has_pilot: bool,
-                interpret: bool):
+                pilot_quadrature: bool, interpret: bool):
     n_out = 16 if has_pilot else 8
 
     def kernel(*refs):
         if has_pilot:
-            (alpha_r, remc_r, shi_r, slo_r, bsz_r,
+            (alpha_r, alphap_r, remc_r, shi_r, slo_r, bsz_r,
              si_r, sq_r, wt_r, wp_r, out_r) = refs
         else:
             (alpha_r, remc_r, shi_r, slo_r, bsz_r,
@@ -69,14 +69,14 @@ def _build_call(blk_pad: int, wlen: int, k: int, has_pilot: bool,
 
         alpha = alpha_r[:]
 
-        def taps(w_r):
+        def taps(w_r, al):
             def repl(d):
                 a = w_r[:, d:d + blk_pad].astype(jnp.float32)
                 b = w_r[:, d + 1:d + 1 + blk_pad].astype(jnp.float32)
-                return a + alpha * (b - a)
+                return a + al * (b - a)
             return repl(0), repl(k), repl(2 * k)
 
-        early, prompt, late = taps(wt_r)
+        early, prompt, late = taps(wt_r, alpha)
 
         def s(x):
             return jnp.sum(x, axis=1, keepdims=True)
@@ -86,9 +86,14 @@ def _build_call(blk_pad: int, wlen: int, k: int, has_pilot: bool,
                 s(late * bb_i), s(late * bb_q)]
         z = jnp.zeros((cb, 1), jnp.float32)
         if has_pilot:
-            pe, pp, plate = taps(wp_r)
-            # pilot carrier rotated by π/2: exp(-j(φ-π/2))·s = j·bb
-            pb_i, pb_q = -bb_q, bb_i
+            pe, pp, plate = taps(wp_r, alphap_r[:])
+            if pilot_quadrature:
+                # pilot carrier rotated by π/2: exp(-j(φ-π/2))·s = j·bb
+                pb_i, pb_q = -bb_q, bb_i
+            else:
+                # time-multiplexed pilot on the data carrier (L2C CL,
+                # GPS_L2C/include/tracking.m:317-324)
+                pb_i, pb_q = bb_i, bb_q
             cols += [s(pe * pb_i), s(pe * pb_q),
                      s(pp * pb_i), s(pp * pb_q),
                      s(plate * pb_i), s(plate * pb_q), z, z, z, z]
@@ -106,14 +111,17 @@ def _build_call(blk_pad: int, wlen: int, k: int, has_pilot: bool,
         return pl.BlockSpec((cb, w), lambda i: (i, i * 0),
                             memory_space=pltpu.VMEM)
 
-    def call(alpha, remc, shi, slo, bsz, si, sq, wt, wp=None):
+    def call(alpha, alpha_p, remc, shi, slo, bsz, si, sq, wt, wp=None):
         c = si.shape[0]
         assert c % cb == 0, c
-        in_specs = [vec()] * 5 + [mat(blk_pad), mat(blk_pad), mat(wlen)]
-        args = [alpha, remc, shi, slo, bsz, si, sq, wt]
         if has_pilot:
-            in_specs.append(mat(wlen))
-            args.append(wp)
+            in_specs = [vec()] * 6 + [mat(blk_pad), mat(blk_pad),
+                                      mat(wlen), mat(wlen)]
+            args = [alpha, alpha_p, remc, shi, slo, bsz, si, sq, wt, wp]
+        else:
+            in_specs = [vec()] * 5 + [mat(blk_pad), mat(blk_pad),
+                                      mat(wlen)]
+            args = [alpha, remc, shi, slo, bsz, si, sq, wt]
         return pl.pallas_call(
             kernel,
             grid=(c // cb,),
@@ -128,7 +136,8 @@ def _build_call(blk_pad: int, wlen: int, k: int, has_pilot: bool,
 
 
 def correlate_bank(alpha, remc, shi, slo, bsz, si, sq, wt, wp=None,
-                   *, k: int, interpret: bool = False):
+                   *, k: int, alpha_p=None, pilot_quadrature: bool = True,
+                   interpret: bool = False):
     """Correlator sums for a channel bank.
 
     alpha/remc/shi/slo/bsz: [C, 1] f32 per-channel scalars — replica
@@ -137,11 +146,16 @@ def correlate_bank(alpha, remc, shi, slo, bsz, si, sq, wt, wp=None,
     si/sq: [C, blk_pad] int8 sample windows (blk_pad % 128 == 0)
     wt/wp: [C, wlen] int8 replica windows (wlen % 128 == 0, covering
       blk_pad + 2k + 1 from tap -k)
+    alpha_p: [C, 1] f32 pilot interpolation fraction (defaults to alpha;
+      differs for long pilots whose slice advances per epoch)
+    pilot_quadrature: False for time-multiplexed pilots (L2C CL)
     Returns [C, 8] (or [C, 16] with pilot) f32:
       iE qE iP qP iL qL [piE pqE piP pqP piL pqL] 0-pad.
     """
     blk_pad = si.shape[1]
     wlen = wt.shape[1]
     call = _build_call(blk_pad, wlen, int(k), wp is not None,
-                       bool(interpret))
-    return call(alpha, remc, shi, slo, bsz, si, sq, wt, wp)
+                       bool(pilot_quadrature), bool(interpret))
+    if alpha_p is None:
+        alpha_p = alpha
+    return call(alpha, alpha_p, remc, shi, slo, bsz, si, sq, wt, wp)

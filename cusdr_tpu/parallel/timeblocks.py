@@ -3,22 +3,30 @@
 The reference processes time strictly sequentially — the per-epoch DLL/PLL
 feedback carries remCodePhase/remCarrPhase/NCO state (SURVEY.md §3.3).
 Here the IF timeline is split into B blocks tracked CONCURRENTLY
-(vmap over a 'tb' mesh axis), using predict-then-correct:
+(vmap over a 'tb' mesh axis), in two composable modes:
 
-  * predict: each block's initial channel state is propagated open-loop
-    from the acquisition solution — code phase advanced at the
-    Doppler-aided code rate, carrier at the acquired frequency.  Over
-    block lengths of seconds the prediction error stays within the DLL/PLL
-    pull-in range (milli-chips / a few Hz), so each block's closed loop
-    re-converges within a short transient.
-  * correct: outputs are stitched in time; the per-block transient
-    (first ``settle_epochs``) is the price of parallelism and is excluded
-    from measurement formation.
+  * predict (handoff_iters=0): each block's initial channel state is
+    propagated open-loop from the acquisition solution — code phase
+    advanced at the Doppler-aided code rate, carrier at the acquired
+    frequency.  Over block lengths of seconds the prediction error stays
+    within the DLL/PLL pull-in range, so each block's closed loop
+    re-converges within a short transient (``settle_epochs``), which
+    consumers must mask from measurement formation (nav_solve does).
 
-This is the overlap-save/halo-exchange role that ring-attention plays for
-attention (SURVEY.md §5): state rides block boundaries as a *prediction*
-instead of a sequential dependency, turning a 60 s serial scan into B
-independent scans.
+  * state handoff (handoff_iters>=1): after each parallel pass, block
+    k+1 restarts from block k's FINAL loop state — a ring shift of the
+    state pytree along the 'tb' axis (XLA lowers it to a
+    collective-permute when the axis is sharded).  Block 0 always holds
+    the true initial state, so after iteration i the first i+1 blocks
+    are EXACTLY the sequential trajectory; converged later blocks differ
+    only by the loop's exponentially-decayed memory of their predicted
+    start, giving sequential-parity within float tolerance at
+    handoff_iters=1..2 (tests/test_timeblocks.py pins this).
+
+This plays the structural role ring-attention/Ulysses plays for
+attention (SURVEY.md §5): per-channel loop state rides block boundaries
+through a ring exchange instead of a serial dependency, turning a 60 s
+serial scan into B concurrent scans (× handoff_iters+1 passes).
 """
 
 from __future__ import annotations
@@ -38,19 +46,19 @@ from ..tracking.engine import (ChannelState, TrackParams,
 
 
 @functools.partial(jax.jit, static_argnames=("params", "n_epochs"))
-def _track_blocks(samples_blocks, block_starts, code_tables, pilot_tables,
-                  states: ChannelState, params: TrackParams,
-                  n_epochs: int):
+def _track_blocks(samples_blocks, block_starts, block_ends, code_tables,
+                  pilot_tables, states: ChannelState,
+                  params: TrackParams, n_epochs: int):
     """vmap of track_superblock over the block axis.
 
-    samples_blocks: [B, 2*S_blk] int8; block_starts: [B] i64 (absolute
-    sample index of each block's buffer start); states: leaves [B, C].
+    samples_blocks: [B, 2*S_blk] int8; block_starts/block_ends: [B] i64
+    (absolute sample range of each block's buffer); states: leaves [B, C].
     """
-    def one(samples, start, st):
+    def one(samples, start, end, st):
         return track_superblock(samples, start, code_tables, pilot_tables,
-                                st, params, n_epochs)
+                                st, params, n_epochs, end)
 
-    return jax.vmap(one)(samples_blocks, block_starts, states)
+    return jax.vmap(one)(samples_blocks, block_starts, block_ends, states)
 
 
 def predict_block_states(channels: Sequence, cfg, sig: SignalDef,
@@ -71,7 +79,6 @@ def predict_block_states(channels: Sequence, cfg, sig: SignalDef,
     code_freqs = sig.chip_rate_hz * (1.0 + dopplers / sig.carrier_freq_hz)
     phase0 = np.asarray([ch[2] for ch in channels], np.float64)
 
-    states = []
     starts = np.zeros((n_blocks, len(channels)), np.int64)
     rems = np.zeros((n_blocks, len(channels)), np.float64)
     for b in range(n_blocks):
@@ -86,11 +93,15 @@ def predict_block_states(channels: Sequence, cfg, sig: SignalDef,
     base = init_channel_state(channels, sig.chip_rate_hz,
                               dopplers=dopplers,
                               carrier_freq_hz=sig.carrier_freq_hz)
+    mod = max(getattr(sig, "pilot_phase_hypotheses", 0), 1)
     leaves = []
     for b in range(n_blocks):
+        pper = (np.asarray(base.pilot_period)
+                + b * epochs_per_block) % mod
         st = base._replace(
             abs_sample=jnp.asarray(starts[b]),
-            rem_code_phase=jnp.asarray(rems[b]))
+            rem_code_phase=jnp.asarray(rems[b]),
+            pilot_period=jnp.asarray(pper.astype(np.int32)))
         leaves.append(st)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *leaves)
     return stacked, starts
@@ -99,32 +110,42 @@ def predict_block_states(channels: Sequence, cfg, sig: SignalDef,
 def track_time_parallel(cfg, sig: SignalDef, samples_iq: np.ndarray,
                         channels: Sequence, n_epochs: int,
                         n_blocks: int,
-                        settle_epochs: int = 150,
+                        settle_epochs: Optional[int] = None,
+                        handoff_iters: Optional[int] = None,
                         mesh=None) -> TrackResults:
     """Track ``n_epochs`` split into ``n_blocks`` concurrent time blocks.
 
     With ``mesh`` (axis 'tb'), the block axis is sharded across devices;
     without, vmap still executes all blocks in one fused program.
-    Returns TrackResults over the full timeline (block transients
-    included; consumers should skip ``settle_epochs`` after each block
-    boundary — nav_solve tolerates this via parity/CRC gating).
+    ``handoff_iters`` parallel passes re-seed each block from its left
+    neighbor's final state (module docstring); at 0, per-block transients
+    are flagged via ``settle_epochs``/``epochs_per_block`` on the result
+    and nav_solve masks them.
     """
     params = make_track_params(cfg, sig)
     spc = cfg.samples_per_code
+    if settle_epochs is None:
+        settle_epochs = cfg.settle_epochs
+    if handoff_iters is None:
+        handoff_iters = cfg.handoff_iters
     epochs_per_block = n_epochs // n_blocks
     assert epochs_per_block * n_blocks == n_epochs
 
-    states, starts = predict_block_states(channels, cfg, sig, n_blocks,
-                                          epochs_per_block)
-    # per-block sample windows (with tail margin)
-    blk_len = (epochs_per_block + 3) * spc + params.blk + 256
+    states0, starts = predict_block_states(channels, cfg, sig, n_blocks,
+                                           epochs_per_block)
+    # per-block sample windows: one code period of FRONT margin (handoff
+    # may move a block's start slightly before its predicted start) and
+    # tail margin
+    blk_len = (epochs_per_block + 4) * spc + params.blk + 256
     total = len(samples_iq) // 2
     sb = np.zeros((n_blocks, 2 * blk_len), np.int8)
     sb_start = np.zeros(n_blocks, np.int64)
+    sb_end = np.zeros(n_blocks, np.int64)
     for b in range(n_blocks):
-        s0 = int(starts[b].min())
+        s0 = max(int(starts[b].min()) - spc, 0)
         s1 = min(s0 + blk_len, total)
         sb_start[b] = s0
+        sb_end[b] = s1
         sb[b, :2 * (s1 - s0)] = samples_iq[2 * s0:2 * s1]
 
     if_offsets0 = np.zeros(len(channels))
@@ -150,18 +171,33 @@ def track_time_parallel(cfg, sig: SignalDef, samples_iq: np.ndarray,
 
     sb_d = jnp.asarray(sb)
     starts_d = jnp.asarray(sb_start)
+    ends_d = jnp.asarray(sb_end)
+    states = states0
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         sh = NamedSharding(mesh, P("tb"))
         sb_d = jax.device_put(sb_d, NamedSharding(mesh, P("tb", None)))
         starts_d = jax.device_put(starts_d, sh)
-        states = jax.tree.map(
-            lambda x: jax.device_put(x, NamedSharding(
-                mesh, P(*(("tb",) + (None,) * (x.ndim - 1))))), states)
+        ends_d = jax.device_put(ends_d, sh)
+        put = lambda x: jax.device_put(x, NamedSharding(
+            mesh, P(*(("tb",) + (None,) * (x.ndim - 1)))))
+        states = jax.tree.map(put, states)
+        states0 = states
 
-    _, outs = _track_blocks(sb_d, starts_d, jnp.asarray(ctabs),
-                            jnp.asarray(ptabs), states, params,
-                            epochs_per_block)
+    ct_d, pt_d = jnp.asarray(ctabs), jnp.asarray(ptabs)
+    outs = None
+    for it in range(handoff_iters + 1):
+        final, outs = _track_blocks(sb_d, starts_d, ends_d, ct_d, pt_d,
+                                    states, params, epochs_per_block)
+        if it < handoff_iters:
+            # ring handoff: block k+1 restarts from block k's final
+            # state; block 0 keeps the true initial state.  On a sharded
+            # 'tb' axis this shift is a collective-permute over ICI.
+            states = jax.tree.map(
+                lambda i0, fin: jnp.concatenate([i0[:1], fin[:-1]],
+                                                axis=0),
+                states0, final)
+
     # outs leaves: [B, epochs_per_block, C] -> [C, B*epochs_per_block]
     merged = {}
     for name in TrackOutputs._fields:
@@ -170,5 +206,6 @@ def track_time_parallel(cfg, sig: SignalDef, samples_iq: np.ndarray,
     res = TrackResults([ch[0] for ch in channels], merged, cfg)
     res.n_blocks = n_blocks
     res.epochs_per_block = epochs_per_block
-    res.settle_epochs = settle_epochs
+    # exact-stitched results have no transient to mask
+    res.settle_epochs = 0 if handoff_iters >= 1 else settle_epochs
     return res

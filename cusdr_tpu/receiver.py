@@ -150,24 +150,46 @@ def nav_solve(cfg, sig, track_res) -> Optional[NavSolutions]:
     if len(active) < 4:
         return None
 
+    # per-channel last usable sample (channel lifecycle: a dropped /
+    # out-of-data channel keeps earlier epochs usable,
+    # tracking.m:241-245 / showChannelStatus states)
+    n_epochs = track_res.abs_sample.shape[1]
+    last_sample = np.empty(n_ch, np.int64)
+    for ch in range(n_ch):
+        au = int(getattr(track_res, "active_until",
+                         np.full(n_ch, n_epochs))[ch])
+        au = max(au, 1)
+        last_sample[ch] = (track_res.abs_sample[ch, au - 1]
+                           + track_res.blksize[ch, au - 1])
     sample_start = max(track_res.abs_sample[ch, sub_start[ch]]
                        for ch in active) + 1
-    sample_end = min(track_res.abs_sample[ch, -1] for ch in active) - 1
+    sample_end = max(last_sample[ch] for ch in active) - 1
     step = int(cfg.sampling_freq * cfg.nav_sol_period_ms / 1000)
     n_meas = int((sample_end - sample_start) // step)
     if n_meas < 1:
         return None
+
+    # time-parallel predict mode: mask measurement epochs inside each
+    # block's re-convergence transient (parallel/timeblocks.py)
+    settle = int(getattr(track_res, "settle_epochs", 0) or 0)
+    epb = int(getattr(track_res, "epochs_per_block", 0) or 0)
 
     sol = NavSolutions()
     local_time = np.inf
     sat_elev = np.full(n_ch, np.inf)
     ready = list(active)
     for m in range(n_meas):
+        meas_sample = int(sample_start + step * m)
         chans = [ch for ch in ready
-                 if sat_elev[ch] >= cfg.elevation_mask_deg]
+                 if sat_elev[ch] >= cfg.elevation_mask_deg
+                 and meas_sample < last_sample[ch]]
         if len(chans) < 4:
             continue
-        meas_sample = int(sample_start + step * m)
+        if settle and epb:
+            idx = int(np.searchsorted(track_res.abs_sample[chans[0]],
+                                      meas_sample, side="right")) - 1
+            if idx % epb < settle:
+                continue
         tx = transmit_times(track_res, chans, sub_start, tow,
                             meas_sample, cfg, sig)
         raw_p, local_time = calculate_pseudoranges(tx, chans, local_time,
@@ -253,7 +275,21 @@ class Receiver:
         if not channels:
             return ReceiverResults(acq, None, None, [])
 
-        track_res = track(cfg, self.sig, samples_iq, channels,
-                          n_epochs=n_epochs)
+        if cfg.time_blocks > 1:
+            # sequence-parallel tracking (parallel/timeblocks.py):
+            # n_epochs rounded down to a block multiple
+            from .parallel.timeblocks import track_time_parallel
+            spc = cfg.samples_per_code
+            total = len(samples_iq) // 2
+            max_phase = max(ch[2] for ch in channels)
+            if n_epochs is None:
+                n_epochs = int((total - max_phase - 2 * spc) // spc)
+            n_epochs = (n_epochs // cfg.time_blocks) * cfg.time_blocks
+            track_res = track_time_parallel(
+                cfg, self.sig, samples_iq, channels, n_epochs,
+                cfg.time_blocks)
+        else:
+            track_res = track(cfg, self.sig, samples_iq, channels,
+                              n_epochs=n_epochs)
         nav = nav_solve(cfg, self.sig, track_res)
         return ReceiverResults(acq, track_res, nav, channels)

@@ -48,6 +48,9 @@ class SignalDef:
     # pilot phase among N hypotheses (L2C CL: 75,
     # GPS_L2C/include/acquisition.m:127-167)
     pilot_phase_hypotheses: int = 0
+    # pilot time-multiplexed on the SAME carrier phase as data (L2C TMRZ
+    # chip interleave) rather than in quadrature (L5/E1/E5/B1C/B2a)
+    pilot_in_phase: bool = False
     # wideband pilot replica (B1C QMBOC BOC(6,1)) + its elements/chip
     pilot_code_wb: Optional[Callable[[int], np.ndarray]] = None
     pilot_wb_elements_per_chip: int = 0
@@ -81,7 +84,7 @@ REGISTRY = {
         data_code=gps.l2cm_rz, pilot_code=gps.l2cl_rz,
         elements_per_chip=2,
         nav_codec="cnav", nav_symbol_ms=20.0,
-        pilot_phase_hypotheses=75),
+        pilot_phase_hypotheses=75, pilot_in_phase=True),
 
     "gps_l5c": SignalDef(
         name="gps_l5c", constellation="gps",

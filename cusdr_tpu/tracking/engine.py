@@ -73,6 +73,14 @@ class TrackParams:
     pf3: float = 0.0
     use_pallas: bool = False    # fused Pallas correlator bank (TPU)
     pallas_interpret: bool = False   # interpreter mode (CPU parity tests)
+    pilot_quadrature: bool = True    # pilot carrier rotated pi/2 (L5/E1/E5
+                                     # quadrature pilots); False for L2C's
+                                     # time-multiplexed CL (same carrier,
+                                     # GPS_L2C/include/tracking.m:317-324)
+    pilot_period_mod: int = 0   # long pilot spanning N code periods: the
+                                # pilot replica advances one period per
+                                # epoch, rolling at N (L2C CL: 75,
+                                # GPS_L2C/include/tracking.m:363-364)
 
 
 class ChannelState(NamedTuple):
@@ -91,6 +99,11 @@ class ChannelState(NamedTuple):
     d_carr: jnp.ndarray             # f64 — 3rd-order PLL integrators
     d2_carr: jnp.ndarray            # f64   (NB_tracking.m:347-349)
     abs_sample: jnp.ndarray         # i64 — sample index of epoch start
+    pilot_period: jnp.ndarray       # i32 — long-pilot period counter
+                                    # (L2C CLCodePhase, tracking.m:363-364)
+    active: jnp.ndarray             # bool — channel lifecycle: False stops
+                                    # updates (out-of-data exit of
+                                    # tracking.m:241-245 / loss of lock)
 
 
 class TrackOutputs(NamedTuple):
@@ -119,18 +132,23 @@ class TrackOutputs(NamedTuple):
 def init_channel_state(channels: Sequence, code_freq_basis: float,
                        dopplers=None, carrier_freq_hz: float = 0.0
                        ) -> ChannelState:
-    """channels: iterable of (prn, acquired_carr_freq, code_phase_samples).
+    """channels: iterable of (prn, acquired_carr_freq, code_phase_samples
+    [, pilot_period]).
 
     Mirrors tracking.m:160-181 initialization; abs_sample starts at the
     acquired code phase (tracking.m:145-153 fseek).  When ``dopplers``
     (acquired carrier Doppler per channel [Hz]) and ``carrier_freq_hz``
     are given, the per-channel code-NCO center is Doppler-aided:
     basis·(1 + doppler/f_carrier) — the wideband receivers' init
-    (GAL_E5a/include/preRun.m:71-73).
+    (GAL_E5a/include/preRun.m:71-73).  The optional 4th element is the
+    acquired long-pilot period index (L2C CLCodePhase,
+    GPS_L2C/include/tracking.m:161-163).
     """
     c = len(channels)
     carr = np.asarray([ch[1] for ch in channels], np.float64)
     phase = np.asarray([ch[2] for ch in channels], np.int64)
+    pper = np.asarray([ch[3] if len(ch) > 3 else 0 for ch in channels],
+                      np.int32)
     z = np.zeros(c, np.float64)
     basis = np.full(c, code_freq_basis, np.float64)
     if dopplers is not None and carrier_freq_hz > 0:
@@ -146,14 +164,17 @@ def init_channel_state(channels: Sequence, code_freq_basis: float,
         carr_nco=jnp.asarray(z), carr_err=jnp.asarray(z),
         code_nco=jnp.asarray(z), code_err=jnp.asarray(z),
         d_carr=jnp.asarray(z), d2_carr=jnp.asarray(z),
-        abs_sample=jnp.asarray(phase))
+        abs_sample=jnp.asarray(phase),
+        pilot_period=jnp.asarray(pper),
+        active=jnp.ones(c, bool))
 
 
-def _epoch_one_channel(samples_iq, sb_start, code_table, pilot_table,
-                       st, p: TrackParams):
+def _epoch_one_channel(samples_iq, sb_start, end_sample, code_table,
+                       pilot_table, st, p: TrackParams):
     """Track one epoch (one code period) for one channel.
 
     samples_iq: [2S] int8 interleaved I/Q (device-resident superblock)
+    end_sample: absolute sample index past which no data exists
     code_table/pilot_table: fast path — [blk + 2*up_margin] float32
     pre-sampled replica (chip phase (m - up_margin)*step at index m);
     exact path — [E] int8 code elements
@@ -253,7 +274,20 @@ def _epoch_one_channel(samples_iq, sb_start, code_table, pilot_table,
         # finer element grid (WB QMBOC BOC(6,1): 12 elements/chip,
         # WB_tracking.m:176-188)
         if p.fast_code:
-            pwin = jax.lax.dynamic_slice(pilot_table, (start,),
+            if p.pilot_period_mod > 1:
+                # long pilot (L2C CL): advance the slice by the current
+                # pilot period within the full-period table
+                pchips = (st.rem_code_phase
+                          + st.pilot_period.astype(jnp.float64)
+                          * p.code_len)
+                pshift_f = pchips / code_phase_step
+                pshift = jnp.floor(pshift_f).astype(jnp.int32)
+                palpha = (pshift_f - jnp.floor(pshift_f)
+                          ).astype(jnp.float32)
+                pstart = p.up_margin + pshift - k
+            else:
+                pstart, palpha = start, alpha
+            pwin = jax.lax.dynamic_slice(pilot_table, (pstart,),
                                          (p.blk + 2 * k + 1,))
 
             def prepl(d):
@@ -261,24 +295,31 @@ def _epoch_one_channel(samples_iq, sb_start, code_table, pilot_table,
                                   (d + p.blk,)).astype(jnp.float32)
                 b = jax.lax.slice(pwin, (d + 1,),
                                   (d + 1 + p.blk,)).astype(jnp.float32)
-                return a + alpha * (b - a)
+                return a + palpha * (b - a)
             pprompt = prepl(k)
             pearly, plate = prepl(0), prepl(2 * k)
         else:
             pepc = p.pilot_epc or epc
-            pn_elem = p.code_len * pepc
+            pn_elem = p.code_len * pepc * max(p.pilot_period_mod, 1)
+            poff_elem = st.pilot_period * (p.code_len * pepc) \
+                if p.pilot_period_mod > 1 else 0
 
             def pchips(offset_chips):
                 idx = jnp.ceil((tcode + offset_chips) * pepc).astype(
-                    jnp.int32) - 1
+                    jnp.int32) - 1 + poff_elem
                 return pilot_table[jnp.mod(idx,
                                            pn_elem)].astype(jnp.float32)
 
             pprompt = pchips(jnp.float32(0.0))
             pearly, plate = pchips(jnp.float32(-p.spacing)), \
                 pchips(jnp.float32(p.spacing))
-        # rotate: exp(-j(phase - π/2))·s = j·[exp(-j·phase)·s]
-        pb_i, pb_q = -bb_q, bb_i
+        if p.pilot_quadrature:
+            # rotate: exp(-j(phase - π/2))·s = j·[exp(-j·phase)·s]
+            pb_i, pb_q = -bb_q, bb_i
+        else:
+            # time-multiplexed pilot shares the data carrier
+            # (GPS_L2C/include/tracking.m:317-324)
+            pb_i, pb_q = bb_i, bb_q
         pcodes = jnp.stack([pearly, pprompt, plate])
         pbb = jnp.stack([pb_i, pb_q], axis=1)
         psums = jnp.dot(pcodes, pbb, preferred_element_type=jnp.float32)
@@ -288,17 +329,23 @@ def _epoch_one_channel(samples_iq, sb_start, code_table, pilot_table,
     if not p.has_pilot:
         z = jnp.float32(0.0)
         pi_e = pq_e = pi_p = pq_p = pi_l = pq_l = z
-    return _close_epoch(st, p, blksize, code_phase_step, inc,
+    return _close_epoch(st, p, blksize, code_phase_step, inc, end_sample,
                         i_e, q_e, i_p, q_p, i_l, q_l,
                         pi_e, pq_e, pi_p, pq_p, pi_l, pq_l)
 
 
 def _close_epoch(st, p: TrackParams, blksize, code_phase_step, inc,
+                 end_sample,
                  i_e, q_e, i_p, q_p, i_l, q_l,
                  pi_e, pq_e, pi_p, pq_p, pi_l, pq_l):
     """Discriminators, loop filters and state/output packing — shared by
     the per-channel XLA epoch (scalars, under vmap) and the Pallas bank
     epoch ([C] vectors); all ops are elementwise."""
+    # channel lifecycle: an epoch is valid only while the channel is
+    # active and its window stays inside the record — the out-of-data
+    # exit of tracking.m:241-245, made per-channel
+    valid = jnp.logical_and(st.active,
+                            st.abs_sample + p.blk <= end_sample)
     # ---- phase carries (tracking.m:273,283) -------------------------------
     bsf = blksize.astype(jnp.float64)
     rem_code = (st.rem_code_phase + bsf * code_phase_step) - p.code_len
@@ -345,6 +392,11 @@ def _close_epoch(st, p: TrackParams, blksize, code_phase_step, inc,
                 + code_err * (p.pdi / p.tau1_code))
     code_freq = st.code_freq_basis - code_nco
 
+    if p.pilot_period_mod > 1:
+        pilot_period = jnp.mod(st.pilot_period + 1, p.pilot_period_mod)
+    else:
+        pilot_period = st.pilot_period
+
     new_state = ChannelState(
         carr_freq=carr_freq, carr_freq_basis=st.carr_freq_basis,
         code_freq=code_freq, code_freq_basis=st.code_freq_basis,
@@ -353,19 +405,25 @@ def _close_epoch(st, p: TrackParams, blksize, code_phase_step, inc,
         carr_nco=carr_nco, carr_err=carr_err,
         code_nco=code_nco, code_err=code_err,
         d_carr=d_carr, d2_carr=d2_carr,
-        abs_sample=st.abs_sample + blksize.astype(jnp.int64))
+        abs_sample=st.abs_sample + blksize.astype(jnp.int64),
+        pilot_period=pilot_period, active=valid)
+    # freeze state on inactive/out-of-data channels (keep active=valid)
+    new_state = jax.tree.map(lambda n, o: jnp.where(valid, n, o),
+                             new_state._replace(active=st.active),
+                             st)._replace(active=valid)
 
+    vf = valid.astype(jnp.float32)
     # outputs packed into 3 dtype-homogeneous vectors (one scan
     # dynamic-update-slice each instead of 18 — the per-step DUS ops were
     # ~1/4 of tracking wall time); track_superblock unpacks after the scan
     out_f32 = jnp.stack([
         i_e, q_e, i_p, q_p, i_l, q_l, pi_p, pq_p,
         code_err.astype(jnp.float32), code_nco.astype(jnp.float32),
-        carr_err.astype(jnp.float32), carr_nco.astype(jnp.float32)])
+        carr_err.astype(jnp.float32), carr_nco.astype(jnp.float32)]) * vf
     out_f64 = jnp.stack([st.carr_freq, st.code_freq,
                          st.rem_code_phase, st.rem_carr_phase])
     out_i64 = jnp.stack([st.abs_sample,
-                         blksize.astype(jnp.int64)])
+                         jnp.where(valid, blksize, 0).astype(jnp.int64)])
     return new_state, (out_f32, out_f64, out_i64)
 
 
@@ -373,8 +431,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start, code_tables,
-                       pilot_tables, st: ChannelState, p: TrackParams):
+def _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start, end_sample,
+                       code_tables, pilot_tables, st: ChannelState,
+                       p: TrackParams):
     """One epoch for the whole channel bank via the fused Pallas
     correlator (ops/correlator.py).  XLA does only the dynamic window
     slices and the f64 scalar loop updates; everything per-sample runs
@@ -403,9 +462,19 @@ def _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start, code_tables,
     wt = jax.vmap(lambda t, s0: jax.lax.dynamic_slice(
         t, (s0,), (wlen,)))(code_tables, start)
     wp = None
+    palpha = alpha
     if p.has_pilot:
+        if p.pilot_period_mod > 1:
+            pchips = (st.rem_code_phase
+                      + st.pilot_period.astype(jnp.float64) * p.code_len)
+            pshift_f = pchips / code_phase_step
+            pshift = jnp.floor(pshift_f).astype(jnp.int32)
+            palpha = (pshift_f - jnp.floor(pshift_f)).astype(jnp.float32)
+            pstart = p.up_margin + pshift - k
+        else:
+            pstart = start
         wp = jax.vmap(lambda t, s0: jax.lax.dynamic_slice(
-            t, (s0,), (wlen,)))(pilot_tables, start)
+            t, (s0,), (wlen,)))(pilot_tables, pstart)
 
     inc = _TWO_PI * st.carr_freq / p.fs            # f64 [C]
     inc_c = st.carr_freq / p.fs
@@ -416,7 +485,8 @@ def _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start, code_tables,
     col = lambda x: x[:, None]
     out = correlate_bank(col(alpha), col(remc), col(shi), col(slo),
                          col(blksize.astype(jnp.float32)),
-                         si, sq, wt, wp, k=k,
+                         si, sq, wt, wp, alpha_p=col(palpha), k=k,
+                         pilot_quadrature=p.pilot_quadrature,
                          interpret=p.pallas_interpret)
     i_e, q_e, i_p, q_p, i_l, q_l = (out[:, j] for j in range(6))
     if p.has_pilot:
@@ -425,7 +495,7 @@ def _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start, code_tables,
     else:
         z = jnp.zeros_like(i_e)
         pi_e = pq_e = pi_p = pq_p = pi_l = pq_l = z
-    return _close_epoch(st, p, blksize, code_phase_step, inc,
+    return _close_epoch(st, p, blksize, code_phase_step, inc, end_sample,
                         i_e, q_e, i_p, q_p, i_l, q_l,
                         pi_e, pq_e, pi_p, pq_p, pi_l, pq_l)
 
@@ -433,16 +503,21 @@ def _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start, code_tables,
 @functools.partial(jax.jit, static_argnames=("params", "n_epochs"))
 def track_superblock(samples_iq, sb_start, code_tables, pilot_tables,
                      state: ChannelState, params: TrackParams,
-                     n_epochs: int):
+                     n_epochs: int, end_sample=None):
     """Track all channels through ``n_epochs`` code periods.
 
     samples_iq: [2S] int8 interleaved I/Q superblock on device
     sb_start:   absolute sample index of samples_iq[0]
     code_tables/pilot_tables: [C, E] int8 element tables
+    end_sample: absolute end of the record (channels whose next window
+    crosses it freeze, tracking.m:241-245); default = end of superblock
     Returns (new_state, TrackOutputs with [n_epochs, C] leaves).
     """
     n_ch = state.carr_freq.shape[0]
+    if end_sample is None:
+        end_sample = sb_start + samples_iq.shape[0] // 2
     use_pallas = params.use_pallas and params.fast_code
+    pad = 0
     if use_pallas:
         from ..ops.correlator import CHANNEL_BLOCK
         pad = (-n_ch) % CHANNEL_BLOCK
@@ -459,20 +534,20 @@ def track_superblock(samples_iq, sb_start, code_tables, pilot_tables,
 
         def step(st, _):
             return _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start,
-                                      code_tables, pilot_tables, st,
-                                      params)
+                                      end_sample, code_tables,
+                                      pilot_tables, st, params)
     else:
         vm = jax.vmap(_epoch_one_channel,
-                      in_axes=(None, None, 0, 0, 0, None),
+                      in_axes=(None, None, None, 0, 0, 0, None),
                       out_axes=(0, (1, 1, 1)))
 
         def step(st, _):
-            return vm(samples_iq, sb_start, code_tables, pilot_tables,
-                      st, params)
+            return vm(samples_iq, sb_start, end_sample, code_tables,
+                      pilot_tables, st, params)
 
     new_state, (o32, o64, oi) = jax.lax.scan(step, state, None,
                                              length=n_epochs)
-    if use_pallas and (-n_ch) % 8:
+    if pad:
         new_state = jax.tree.map(lambda x: x[:n_ch], new_state)
         o32, o64, oi = (x[:, :, :n_ch] for x in (o32, o64, oi))
     # o32: [E, 12, C]; o64: [E, 4, C]; oi: [E, 2, C]
@@ -493,15 +568,28 @@ def track_superblock(samples_iq, sb_start, code_tables, pilot_tables,
 # --------------------------------------------------------------------------
 
 class TrackResults:
-    """Per-channel tracking results (numpy), mirroring trackResults."""
+    """Per-channel tracking results (numpy), mirroring trackResults.
+
+    ``active_until[c]`` is the first epoch at which channel c stopped
+    producing valid correlations (out of data / lock lost / dropped) —
+    n_epochs when the channel ran to the end.  ``status[c]`` mirrors
+    showChannelStatus.m: 'T' tracking, '-' dropped.
+    """
 
     def __init__(self, prns, outputs: dict, cfg):
         self.prns = prns
         for k, v in outputs.items():
             setattr(self, k, v)
+        n_epochs = self.i_p.shape[1]
+        alive = np.asarray(self.blksize) > 0     # [C, E]
+        self.active_until = np.where(
+            alive.any(axis=1),
+            n_epochs - np.argmax(alive[:, ::-1], axis=1),
+            0).astype(np.int64)
+        self.status = ['T' if a == n_epochs else '-'
+                       for a in self.active_until]
         self.cno = {}
         vsm = cfg.cno.vsm_interval_ms
-        n_epochs = self.i_p.shape[1]
         for c in range(len(prns)):
             vals = []
             for s in range(0, n_epochs - vsm + 1, vsm):
@@ -522,7 +610,13 @@ def build_replica_tables(cfg, sig: SignalDef, params: TrackParams,
     length = params.blk + 2 * m0
     c = len(channels)
     ctabs = np.empty((c, length), np.int8)
-    ptabs = np.zeros((c, length), np.int8)
+    # long pilot (L2C CL): the table spans the full pilot period so the
+    # per-epoch slice can advance one code period per epoch
+    mod = max(params.pilot_period_mod, 1)
+    spc_max = int(np.ceil(cfg.sampling_freq * sig.code_length_chips
+                          / sig.chip_rate_hz)) + 2
+    plength = length + (mod - 1) * spc_max if mod > 1 else length
+    ptabs = np.zeros((c, plength), np.int8)
     use_wb = (cfg.pilot_trk_flag == 2 and sig.pilot_code_wb is not None)
     pfn = sig.pilot_code_wb if use_wb else sig.pilot_code
     for k, ch in enumerate(channels):
@@ -535,9 +629,9 @@ def build_replica_tables(cfg, sig: SignalDef, params: TrackParams,
                                    phase0)
         if params.has_pilot:
             pel = pfn(int(ch[0]))
-            ptabs[k] = sample_code_any(pel, sig.code_length_chips,
+            ptabs[k] = sample_code_any(pel, sig.code_length_chips * mod,
                                        code_freq, cfg.sampling_freq,
-                                       length, phase0)
+                                       plength, phase0)
     return ctabs, ptabs
 
 
@@ -552,12 +646,22 @@ def sample_code_any(elements, code_len_chips, code_freq, fs, n, phase0):
     return elements[idx].astype(np.int8)
 
 
+def _default_use_pallas() -> bool:
+    """Auto policy: the fused Pallas bank on TPU backends, XLA elsewhere."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def make_track_params(cfg, sig: SignalDef) -> TrackParams:
-    from .loop_filters import calc_loop_coef_carr3
-    t1c, t2c = calc_loop_coef(cfg.dll_noise_bandwidth,
-                              cfg.dll_damping_ratio, 1.0)
-    t1p, t2p = calc_loop_coef(cfg.pll_noise_bandwidth,
-                              cfg.pll_damping_ratio, 0.25)
+    from .loop_filters import calc_loop_coef_carr3, calc_loop_coef_exact
+    coef = calc_loop_coef_exact if cfg.loop_design == "exact" \
+        else lambda bw, z, k, _t: calc_loop_coef(bw, z, k)
+    t1c, t2c = coef(cfg.dll_noise_bandwidth,
+                    cfg.dll_damping_ratio, 1.0, cfg.int_time)
+    t1p, t2p = coef(cfg.pll_noise_bandwidth,
+                    cfg.pll_damping_ratio, 0.25, cfg.int_time)
     pf1, pf2, pf3 = calc_loop_coef_carr3(cfg.pll_noise_bandwidth,
                                          cfg.int_time)
     spc = cfg.samples_per_code
@@ -584,8 +688,24 @@ def make_track_params(cfg, sig: SignalDef) -> TrackParams:
     k_nominal = cfg.dll_correlator_spacing * cfg.sampling_freq \
         / sig.chip_rate_hz
     fast = k_nominal >= 0.5
+    if not fast:
+        import warnings
+        warnings.warn(
+            f"{sig.name}: correlator spacing {cfg.dll_correlator_spacing} "
+            f"chips is under half a sample at fs={cfg.sampling_freq:.3e}; "
+            "falling back to the slow per-epoch gather path",
+            stacklevel=2)
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = _default_use_pallas()
+    has_pilot = cfg.pilot_trk_flag > 0 and sig.pilot_code is not None
     return TrackParams(
         fast_code=fast, k_spacing=max(int(round(k_nominal)), 1),
+        use_pallas=bool(use_pallas and fast),
+        pilot_quadrature=not sig.pilot_in_phase,
+        pilot_period_mod=(sig.pilot_phase_hypotheses
+                          if has_pilot and sig.pilot_phase_hypotheses > 1
+                          else 0),
         fs=cfg.sampling_freq, code_len=sig.code_length_chips,
         elements_per_chip=sig.elements_per_chip,
         code_freq_basis=sig.chip_rate_hz,
@@ -593,7 +713,7 @@ def make_track_params(cfg, sig: SignalDef) -> TrackParams:
         spacing=cfg.dll_correlator_spacing,
         tau1_code=t1c, tau2_code=t2c, tau1_carr=t1p, tau2_carr=t2p,
         pdi=cfg.int_time,
-        has_pilot=cfg.pilot_trk_flag > 0 and sig.pilot_code is not None,
+        has_pilot=has_pilot,
         data_weight=wd, pilot_weight=wp,
         dll_data_weight=dll_wd, dll_pilot_weight=dll_wp,
         pilot_epc=pilot_epc, dll_scale=dll_scale,
@@ -647,6 +767,9 @@ def track(cfg, sig: SignalDef, samples_iq: np.ndarray,
     state = init_channel_state(channels, sig.chip_rate_hz,
                                dopplers=dopplers0,
                                carrier_freq_hz=sig.carrier_freq_hz)
+    end_sample = jnp.int64(total_samples)
+    vsm = cfg.cno.vsm_interval_ms
+    low_lock = np.zeros(len(channels), np.int32)
     chunks = []
     done = 0
     while done < n_epochs:
@@ -657,10 +780,29 @@ def track(cfg, sig: SignalDef, samples_iq: np.ndarray,
         sb_len = min(sb_len, total_samples - sb_start)
         sb = jnp.asarray(samples_iq[2 * sb_start:2 * (sb_start + sb_len)])
         state, outs = track_superblock(
-            sb, jnp.int64(sb_start), ctabs_d, ptabs_d, state, params, cur)
-        chunks.append(jax.tree.map(np.asarray, outs))
+            sb, jnp.int64(sb_start), ctabs_d, ptabs_d, state, params,
+            cur, end_sample)
+        out_np = jax.tree.map(np.asarray, outs)
+        chunks.append(out_np)
         done += cur
         max_phase = int(np.max(np.asarray(state.abs_sample)))
+        if cfg.lock_detect and cur >= vsm:
+            # PLL lock gate between superblocks (Calc_CNo_PLD.m NBD/NBP):
+            # a channel below threshold for 2 consecutive superblocks is
+            # dropped, mirroring the reference's channel-status lifecycle
+            from .cno import pll_lock_detector
+            act = np.asarray(state.active)
+            for c in range(len(channels)):
+                if not act[c]:
+                    continue
+                pld = pll_lock_detector(out_np.i_p[-vsm:, c],
+                                        out_np.q_p[-vsm:, c])
+                low_lock[c] = low_lock[c] + 1 \
+                    if pld < cfg.lock_threshold else 0
+            drop = low_lock >= 2
+            if drop.any():
+                state = state._replace(
+                    active=jnp.asarray(act & ~drop))
 
     merged = {}
     for fieldname in TrackOutputs._fields:

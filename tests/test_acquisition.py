@@ -71,7 +71,7 @@ def test_best_channels_ordering(scene):
     best = res.best_channels(12)
     assert len(best) >= 3
     metrics = [res.peak_metric[list(res.prns).index(p)]
-               for p, _, _ in best]
+               for p, *_ in best]
     assert metrics == sorted(metrics, reverse=True)
     # strongest SV (48 dB-Hz) first
     assert best[0][0] == 3

@@ -36,7 +36,7 @@ def e2e():
 
 def test_acquires_all_svs(e2e):
     cfg, sig, scn, res = e2e
-    acquired = {p for p, _, _ in res.channels}
+    acquired = {p for p, *_ in res.channels}
     assert {sv.prn for sv in scn.svs} <= acquired
 
 
