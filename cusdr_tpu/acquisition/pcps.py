@@ -98,8 +98,19 @@ def _mixed_fft(slabs_r, slabs_i, f_grid, ts):
     return _fft_pair(mr, mi)
 
 
+def _second_peak(row, peak_phase, period: int, excl_samples: int):
+    """Largest value in ``row`` outside ±excl_samples of the peak,
+    excluded PERIODICALLY (the true peak repeats every code period when
+    the search spans more than one; GPS_L2C/include/acquisition.m:90-112).
+    """
+    lags = jnp.arange(row.shape[-1])
+    d = jnp.mod(lags - peak_phase, period)
+    dist = jnp.minimum(d, period - d)
+    return jnp.max(jnp.where(dist > excl_samples, row, 0.0))
+
+
 def _corr_peak(mf, cfftc, weights, n_comp, search_len=None,
-               excl_samples: int = 0):
+               excl_samples: int = 0, period: Optional[int] = None):
     """Envelope-summed correlation peak for one PRN.
 
     mf: pair of [n_bins, n_noncoh, nfft]; cfftc: pair of [n_comp, nfft].
@@ -126,23 +137,18 @@ def _corr_peak(mf, cfftc, weights, n_comp, search_len=None,
     k = jnp.argmax(flat)
     peak_bin = k // search
     peak_phase = k % search
-    row = acc[peak_bin]
-    lags = jnp.arange(search)
-    # the search spans 2 code periods, so the true peak repeats at
-    # ±one period: exclude the neighborhood periodically (mod spc)
-    spc = search // 2
-    d = jnp.mod(lags - peak_phase, spc)
-    dist = jnp.minimum(d, spc - d)
-    masked = jnp.where(dist > excl_samples, row, 0.0)
-    return flat[k], peak_bin, peak_phase, jnp.max(masked)
+    spc = period if period is not None else search // 2
+    second = _second_peak(acc[peak_bin], peak_phase, spc, excl_samples)
+    return flat[k], peak_bin, peak_phase, second
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_noncoh", "n_comp", "search_len",
-                                    "excl_samples"))
+                                    "excl_samples", "period"))
 def _pcps_cdma_kernel(slabs, code_fft_conj, weights, f_grid, ts,
                       n_noncoh: int, n_comp: int, search_len: int,
-                      excl_samples: int = 0):
+                      excl_samples: int = 0,
+                      period: Optional[int] = None):
     """CDMA PCPS: the mixed-signal FFT is computed ONCE and shared by all
     PRNs (the reference recomputes it per PRN: acquisition.m:167-191).
 
@@ -154,7 +160,7 @@ def _pcps_cdma_kernel(slabs, code_fft_conj, weights, f_grid, ts,
 
     def one_prn(carry, cfftc):
         return carry, _corr_peak(mf, cfftc, weights, n_comp, search_len,
-                                 excl_samples)
+                                 excl_samples, period)
 
     _, out = jax.lax.scan(one_prn, 0, code_fft_conj)
     return out
@@ -162,10 +168,11 @@ def _pcps_cdma_kernel(slabs, code_fft_conj, weights, f_grid, ts,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_noncoh", "n_comp", "search_len",
-                                    "excl_samples"))
+                                    "excl_samples", "period"))
 def _pcps_fdma_kernel(slabs, code_fft_conj, weights, freqs, ts,
                       n_noncoh: int, n_comp: int, search_len: int,
-                      excl_samples: int = 0):
+                      excl_samples: int = 0,
+                      period: Optional[int] = None):
     """FDMA PCPS (GLONASS): one shared code, per-channel carrier grids
     (GLO_GL1/include/acquisition.m:181-182).
 
@@ -177,10 +184,85 @@ def _pcps_fdma_kernel(slabs, code_fft_conj, weights, freqs, ts,
         return carry, _corr_peak(mf, (code_fft_conj[0][0],
                                       code_fft_conj[1][0]),
                                  weights, n_comp, search_len,
-                                 excl_samples)
+                                 excl_samples, period)
 
     _, out = jax.lax.scan(one_chan, 0, freqs)
     return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_shift", "n_comp", "search_len",
+                                    "excl_samples", "period"))
+def _pcps_circshift_kernel(slabs, code_fft_conj, weights, sub_offsets, ts,
+                           n_shift: int, n_comp: int, search_len: int,
+                           excl_samples: int = 0,
+                           period: Optional[int] = None):
+    """Circular-shift frequency search (GPS_L2C/include/acquisition.m:
+    25,52-88): the signal is mixed and FFT'd only ``n_sub`` times (the
+    sub-bin offsets); every other Doppler hypothesis is the spectrum
+    ROTATED by an integer number of bins.  Versus the brute-force grid
+    this removes all but n_sub forward FFTs and — decisive at long-code
+    numerology like L2C (±10 kHz / 12.5 Hz = 1601 hypotheses over a
+    2^19-point pair FFT) — never materializes the [bins, nfft] mixed
+    tensor: a `lax.scan` over integer shifts keeps only one shift's
+    product live while all PRNs' correlations for that shift run as one
+    batched IFFT.
+
+    slabs: pair of [n_noncoh, nfft]; code_fft_conj: pair of
+    [n_prn, n_comp, nfft]; sub_offsets [n_sub] absolute mix frequencies.
+    Hypothesis (m, j) ≡ carrier  sub_offsets[j] − m·fs/nfft  (spectrum
+    content at −m bins is brought to DC by circshift(+m),
+    acquisition.m:71-84,119).
+    Returns (peak, shift_idx, sub_idx, phase, second) each [n_prn].
+    """
+    mfr, mfi = _mixed_fft(slabs[0], slabs[1], sub_offsets, ts)
+    n_sub = mfr.shape[0]
+    cfr, cfi = code_fft_conj
+    n_prn = cfr.shape[0]
+    per = period if period is not None else search_len // 2
+
+    def rows(rr, ri):
+        """All-PRN envelope rows for one integer shift:
+        [n_prn, n_sub, search]."""
+        acc = jnp.zeros((n_prn, n_sub, search_len), jnp.float32)
+        for c in range(n_comp):
+            ar = cfr[:, c][:, None, None, :]
+            ai = cfi[:, c][:, None, None, :]
+            pr = rr[None] * ar - ri[None] * ai
+            pi = rr[None] * ai + ri[None] * ar
+            ir, ii = _ifft_pair(pr, pi)
+            acc = acc + weights[c] * jnp.hypot(
+                ir[..., :search_len], ii[..., :search_len]).sum(axis=2)
+        return acc
+
+    def step(carry, m):
+        b_val, b_m, b_sub, b_ph, b_row = carry
+        rr = jnp.roll(mfr, m, axis=-1)
+        ri = jnp.roll(mfi, m, axis=-1)
+        acc = rows(rr, ri)
+        flat = acc.reshape(n_prn, -1)
+        k = jnp.argmax(flat, axis=1)
+        val = jnp.take_along_axis(flat, k[:, None], axis=1)[:, 0]
+        sub = (k // search_len).astype(jnp.int32)
+        ph = (k % search_len).astype(jnp.int32)
+        row = jnp.take_along_axis(acc, sub[:, None, None], axis=1)[:, 0]
+        imp = val > b_val
+        carry = (jnp.where(imp, val, b_val),
+                 jnp.where(imp, m, b_m),
+                 jnp.where(imp, sub, b_sub),
+                 jnp.where(imp, ph, b_ph),
+                 jnp.where(imp[:, None], row, b_row))
+        return carry, None
+
+    init = (jnp.full(n_prn, -jnp.inf, jnp.float32),
+            jnp.zeros(n_prn, jnp.int32), jnp.zeros(n_prn, jnp.int32),
+            jnp.zeros(n_prn, jnp.int32),
+            jnp.zeros((n_prn, search_len), jnp.float32))
+    (val, m, sub, ph, row), _ = jax.lax.scan(
+        init=init, xs=jnp.arange(n_shift, dtype=jnp.int32), f=step)
+    second = jax.vmap(lambda r, p: _second_peak(r, p, per, excl_samples)
+                      )(row, ph)
+    return val, m, sub, ph, second
 
 
 # --------------------------------------------------------------------------
@@ -222,6 +304,56 @@ def _fine_kernel(sig_r, sig_i, code_replica, freqs, hyp, ts,
     return jax.vmap(one_freq)(freqs)
 
 
+@jax.jit
+def _pilot_phase_kernel(sig_r, sig_i, cps, freqs, reps, ts):
+    """Batched long-pilot period search over detected PRNs.
+
+    sig_r/sig_i: [S] full record (f32); cps: [n_det] segment starts;
+    freqs: [n_det] coarse carriers; reps: [n_det, n_hyp, spc] int8 pilot
+    replicas, one row per period hypothesis.
+    One program for ALL detected PRNs; the 75-hypothesis correlation is
+    a single [n_hyp, spc]·[spc] matmul per PRN on the MXU (the reference
+    loops hypotheses per PRN: GPS_L2C/include/acquisition.m:127-167).
+    Returns the argmax hypothesis index [n_det].
+    """
+    spc = reps.shape[2]
+
+    def one(cp, f, rep):
+        sr = jax.lax.dynamic_slice(sig_r, (cp,), (spc,))
+        si = jax.lax.dynamic_slice(sig_i, (cp,), (spc,))
+        t = jnp.arange(spc, dtype=jnp.float32)
+        phase = (2.0 * jnp.pi * ts) * f * t
+        c, sn = jnp.cos(phase), jnp.sin(phase)
+        wr = sr * c + si * sn
+        wi = si * c - sr * sn
+        repf = rep.astype(jnp.float32)
+        pr = jnp.dot(repf, wr, preferred_element_type=jnp.float32)
+        pi = jnp.dot(repf, wi, preferred_element_type=jnp.float32)
+        return jnp.argmax(jnp.hypot(pr, pi))
+
+    return jax.vmap(one)(cps, freqs, reps)
+
+
+@functools.partial(jax.jit, static_argnames=("envelope",))
+def _fine_batched(sig_r, sig_i, cps, replicas, freqs, hyp, ts,
+                  envelope: bool = False):
+    """vmap of `_fine_kernel` over detected PRNs, with the per-PRN
+    segment sliced ON DEVICE from the full record — one dispatch for the
+    whole fine stage instead of one per PRN.
+
+    replicas: [n_det, n_codes*spc]; freqs: [n_det, n_fine];
+    hyp: [n_det, n_hyp, n_codes].  Returns powers [n_det, n_fine].
+    """
+    n_seg = replicas.shape[1]
+
+    def one(cp, rep, fr, H):
+        sr = jax.lax.dynamic_slice(sig_r, (cp,), (n_seg,))
+        si = jax.lax.dynamic_slice(sig_i, (cp,), (n_seg,))
+        return _fine_kernel(sr, si, rep, fr, H, ts, envelope=envelope)
+
+    return jax.vmap(one)(cps, replicas, freqs, hyp)
+
+
 def _bit_edge_hypotheses(n_codes: int, window: int) -> np.ndarray:
     """Sliding all-ones windows: nav-bit-edge search
     (acquisition.m:240-248)."""
@@ -261,25 +393,32 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
     prns = np.asarray(list(prn_list if prn_list is not None
                            else cfg.acq_satellite_list))
     spc = cfg.samples_per_code
-    # FFT length: next power of two >= 2 code periods (pow2 keeps the TPU
-    # FFT path fast/supported; peak search stays on the reference's
-    # 2-code-period span)
-    search_len = 2 * spc
-    nfft = 1 << (search_len - 1).bit_length()
+    # coherent span: acq_coh_time [ms] of code periods integrated in one
+    # slab; > 1 period tiles the replica (no secondary/nav wipe-off —
+    # coarse-stage limitation shared with the reference)
+    n_coh = max(1, int(round(cfg.acq_coh_time
+                             / max(sig.code_period_ms, 1e-9))))
+    spc_c = n_coh * spc
+    win_len = spc_c + spc              # full-overlap lags cover [0, spc]
+    # FFT length: next power of two (pow2 keeps the TPU FFT path
+    # fast/supported); peak search stays on the reference's span —
+    # 2 code periods at n_coh == 1 (acquisition.m:160-162), 1 otherwise
+    search_len = 2 * spc if n_coh == 1 else spc
+    nfft = 1 << (win_len - 1).bit_length()
     noncoh = cfg.acq_non_coh_time
     fs = cfg.sampling_freq
     ts = np.float32(1.0 / fs)
 
-    # ---- build signal slabs [noncoh, 2*spc] (acquisition.m:175-178) -------
-    assert len(samples) >= (noncoh + 1) * spc, \
-        f"need {(noncoh + 1) * spc} samples, got {len(samples)}"
-    idx = (np.arange(noncoh)[:, None] * spc
-           + np.arange(search_len)[None, :])
+    # ---- build signal slabs [noncoh, win_len] (acquisition.m:175-178) -----
+    assert len(samples) >= (noncoh * spc_c + spc), \
+        f"need {noncoh * spc_c + spc} samples, got {len(samples)}"
+    idx = (np.arange(noncoh)[:, None] * spc_c
+           + np.arange(win_len)[None, :])
     win = np.asarray(samples)[idx]
     slabs_r = np.zeros((noncoh, nfft), np.float32)
     slabs_i = np.zeros((noncoh, nfft), np.float32)
-    slabs_r[:, :search_len] = np.real(win)
-    slabs_i[:, :search_len] = np.imag(win)
+    slabs_r[:, :win_len] = np.real(win)
+    slabs_i[:, :win_len] = np.imag(win)
 
     # ---- code FFT tables [n_prn, n_comp, nfft] ----------------------------
     comps = sig.acq_code_fns()
@@ -293,7 +432,7 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
                                 else fn(0), sig.elements_per_chip,
                                 sig.chip_rate_hz, fs, spc)
             padded = np.zeros(nfft, np.float32)
-            padded[:spc] = table.astype(np.float32)
+            padded[:spc_c] = np.tile(table.astype(np.float32), n_coh)
             cfc = np.conj(np.fft.fft(padded))
             cf_r[i, c] = cfc.real
             cf_i[i, c] = cfc.imag
@@ -303,6 +442,7 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
     n_bins = cfg.num_freq_bins
     base = (cfg.if_freq + band - step * np.arange(n_bins)).astype(np.float32)
     excl = int(round(fs / sig.chip_rate_hz)) + 1   # ±1 chip exclusion
+    coarse_freq = None
     if sig.fdma:
         # GLONASS: 'PRN' is the frequency channel K
         # (GLO_GL1/include/acquisition.m:181-182)
@@ -314,7 +454,27 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
             (jnp.asarray(cf_r[:1]), jnp.asarray(cf_i[:1])),
             jnp.asarray(weights), jnp.asarray(freqs), ts,
             n_noncoh=noncoh, n_comp=n_comp, search_len=search_len,
-            excl_samples=excl)
+            excl_samples=excl, period=spc)
+    elif cfg.acq_method == "circshift":
+        # one signal FFT per sub-bin; Doppler via spectrum rotation
+        # (GPS_L2C/include/acquisition.m:25,52-88)
+        dfreq = fs / nfft
+        n_sub = max(1, int(np.ceil(dfreq / step)))
+        sub_step = dfreq / n_sub
+        n_shift = int(round(2.0 * band / dfreq)) + 1
+        f_max = cfg.if_freq + band
+        sub_offsets = (f_max - sub_step * np.arange(n_sub)
+                       ).astype(np.float32)
+        peak, m_idx, sub_idx, phase_idx, second = _pcps_circshift_kernel(
+            (jnp.asarray(slabs_r), jnp.asarray(slabs_i)),
+            (jnp.asarray(cf_r), jnp.asarray(cf_i)),
+            jnp.asarray(weights), jnp.asarray(sub_offsets), ts,
+            n_shift=n_shift, n_comp=n_comp, search_len=search_len,
+            excl_samples=excl, period=spc)
+        # carrFreq = f_max − m·Δf − j·sub_step (acquisition.m:119)
+        coarse_freq = (f_max - np.asarray(m_idx) * dfreq
+                       - np.asarray(sub_idx) * sub_step)
+        bin_idx = np.zeros(len(prns), np.int64)
     else:
         freqs = np.broadcast_to(base, (len(prns), n_bins))
         peak, bin_idx, phase_idx, second = _pcps_cdma_kernel(
@@ -322,7 +482,7 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
             (jnp.asarray(cf_r), jnp.asarray(cf_i)),
             jnp.asarray(weights), jnp.asarray(base), ts,
             n_noncoh=noncoh, n_comp=n_comp, search_len=search_len,
-            excl_samples=excl)
+            excl_samples=excl, period=spc)
     peak = np.asarray(peak)
     bin_idx = np.asarray(bin_idx)
     phase_idx = np.asarray(phase_idx)
@@ -333,14 +493,15 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
         metric = peak / np.maximum(second, 1e-12)
     else:
         # GLRT statistic (acquisition.m:150-151,200)
-        sig_power = np.sqrt(np.var(np.asarray(samples[:spc])) * spc)
+        sig_power = np.sqrt(np.var(np.asarray(samples[:spc_c])) * spc_c)
         metric = peak / sig_power / noncoh
         # weighted components change the envelope scale; normalize so the
         # threshold stays comparable to the single-component GLRT
         metric = metric / weights.sum()
     detected = metric > cfg.acq_threshold
 
-    coarse_freq = freqs[np.arange(len(prns)), bin_idx]
+    if coarse_freq is None:
+        coarse_freq = freqs[np.arange(len(prns)), bin_idx]
 
     # ---- fine frequency stage (acquisition.m:203-260) ---------------------
     # Strategy per signal class (generalizing the per-receiver variants):
@@ -387,63 +548,97 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
             return sig.data_code, np.eye(n_codes, dtype=np.float32)
         return sig.data_code, None     # envelope mode
 
+    # The fine stage is BATCHED over detected PRNs: segments are sliced
+    # on device, the long-pilot (CL) phase search is one matmul over all
+    # hypotheses, and one vmapped fine kernel covers every PRN — no
+    # per-PRN dispatch (the reference loops per PRN,
+    # acquisition.m:203-260).
     pilot_phase = np.zeros(len(prns), np.int64)
-    for i, prn in enumerate(prns):
-        if not detected[i]:
-            continue
-        cp = int(phase_idx[i])
-        need = cp + n_codes * spc
-        if need > len(samples):
-            cp = cp - spc  # fall back one code period
-        seg = np.asarray(samples[cp:cp + n_codes * spc])
-        # long-pilot phase search FIRST (coarse freq is good enough for
-        # one coherent code period) so the pilot-based fine stage uses
-        # the right pilot segment (GPS_L2C/include/acquisition.m:127-167)
+    det_idx = [i for i in range(len(prns)) if detected[i]]
+    if det_idx:
+        n_det = len(det_idx)
+        # code-aligned segment starts, stepped back whole periods when
+        # the fine window would run off the record
+        cps = np.empty(n_det, np.int64)
+        for j, i in enumerate(det_idx):
+            cp = int(phase_idx[i])
+            need = cp + n_codes * spc
+            if need > len(samples):
+                back = int(np.ceil((need - len(samples)) / spc)) * spc
+                cp = cp - back if cp >= back else cp % spc
+            cps[j] = cp
+        assert cps.min() >= 0 \
+            and int((cps + n_codes * spc).max()) <= len(samples), \
+            "fine stage needs at least (fine_n_codes + 1) code periods"
+        seg_all = np.asarray(samples)
+        seg_r = np.real(seg_all).astype(np.float32)
+        seg_i = np.imag(seg_all).astype(np.float32)
+        cfreqs = coarse_freq[det_idx].astype(np.float32)
+
+        # ---- long-pilot phase search (L2C CL, acquisition.m:127-167) ------
         nhyp = sig.pilot_phase_hypotheses
         if nhyp > 1 and sig.pilot_code is not None:
-            one_code = np.asarray(samples[cp:cp + spc])
-            t = np.arange(spc) / fs
-            wiped = one_code * np.exp(-2j * np.pi * coarse_freq[i] * t)
-            pilot_elems = sig.pilot_code(int(prn))
             epc_ = sig.elements_per_chip
             n_elem_period = sig.code_length_chips * epc_
             eidx = np.floor(np.arange(spc) * (sig.chip_rate_hz / fs)
                             * epc_).astype(np.int64)
-            powers_cl = np.empty(nhyp)
-            for h in range(nhyp):
-                rep = pilot_elems[(eidx + h * n_elem_period)
-                                  % len(pilot_elems)]
-                powers_cl[h] = np.abs(np.sum(wiped * rep))
-            pilot_phase[i] = int(np.argmax(powers_cl))
-        code_fn, H = fine_setup(int(prn))
-        elems = code_fn(0 if sig.fdma else int(prn))
-        # pilot-based fine on a long pilot starts at the resolved phase
-        fine_offset_chips = 0.0
-        if nhyp > 1 and code_fn is sig.pilot_code:
-            fine_offset_chips = float(pilot_phase[i]
-                                      * sig.code_length_chips)
-        replica = sample_code(elems, sig.elements_per_chip,
-                              sig.chip_rate_hz, fs,
-                              n_codes * spc,
-                              code_phase_chips=fine_offset_chips
-                              ).astype(np.float32)
-        fine_freqs = (coarse_freq[i] + cfg.acq_search_step / 2
-                      - fine_step * np.arange(n_fine)).astype(np.float32)
-        envelope = H is None
-        Hj = jnp.asarray(np.ones((1, n_codes), np.float32) if envelope
-                         else H)
-        powers = np.asarray(_fine_kernel(
-            jnp.asarray(np.real(seg).astype(np.float32)),
-            jnp.asarray(np.imag(seg).astype(np.float32)),
-            jnp.asarray(replica), jnp.asarray(fine_freqs),
-            Hj, ts, envelope=envelope))
-        carr_freq[i] = fine_freqs[int(np.argmax(powers))]
-        if carr_freq[i] == 0.0:
-            carr_freq[i] = 1.0   # acquisition.m:257-260
-        code_phase[i] = int(phase_idx[i])
-        # downsampling recovery (acquisition.m:262-282)
-        code_phase[i], carr_freq[i] = recover(code_phase[i],
-                                              carr_freq[i], rs_info)
+            reps = np.empty((n_det, nhyp, spc), np.int8)
+            for j, i in enumerate(det_idx):
+                pilot_elems = sig.pilot_code(int(prns[i]))
+                shift = (eidx[None, :]
+                         + (np.arange(nhyp) * n_elem_period)[:, None]
+                         ) % len(pilot_elems)
+                reps[j] = pilot_elems[shift]
+            ph_seg = np.asarray(_pilot_phase_kernel(
+                jnp.asarray(seg_r), jnp.asarray(seg_i),
+                jnp.asarray(cps), jnp.asarray(cfreqs),
+                jnp.asarray(reps), ts))
+            for j, i in enumerate(det_idx):
+                # the hypothesis indexes the segment at cps[j]; convert
+                # to the pilot period at phase_idx[i] (tracking start)
+                back_periods = (int(phase_idx[i]) - int(cps[j])) // spc
+                pilot_phase[i] = (int(ph_seg[j]) + back_periods) % nhyp
+
+        # ---- batched fine-frequency kernel --------------------------------
+        replicas = np.empty((n_det, n_codes * spc), np.float32)
+        Hs = None
+        envelope = False
+        for j, i in enumerate(det_idx):
+            code_fn, H = fine_setup(int(prns[i]))
+            elems = code_fn(0 if sig.fdma else int(prns[i]))
+            # pilot-based fine on a long pilot starts at the resolved
+            # phase
+            # (the replica must match the SEGMENT at cps[j], not the
+            # tracking start at phase_idx[i])
+            fine_offset_chips = 0.0
+            if nhyp > 1 and code_fn is sig.pilot_code:
+                fine_offset_chips = float(int(ph_seg[j])
+                                          * sig.code_length_chips)
+            replicas[j] = sample_code(
+                elems, sig.elements_per_chip, sig.chip_rate_hz, fs,
+                n_codes * spc, code_phase_chips=fine_offset_chips
+                ).astype(np.float32)
+            envelope = H is None
+            if Hs is None:
+                Hs = np.empty((n_det,) + (np.ones((1, n_codes))
+                                          if envelope else H).shape,
+                              np.float32)
+            Hs[j] = np.ones((1, n_codes), np.float32) if envelope else H
+        fine_freqs = (cfreqs[:, None] + cfg.acq_search_step / 2
+                      - fine_step * np.arange(n_fine)[None, :]
+                      ).astype(np.float32)
+        powers = np.asarray(_fine_batched(
+            jnp.asarray(seg_r), jnp.asarray(seg_i), jnp.asarray(cps),
+            jnp.asarray(replicas), jnp.asarray(fine_freqs),
+            jnp.asarray(Hs), ts, envelope=envelope))
+        for j, i in enumerate(det_idx):
+            carr_freq[i] = fine_freqs[j, int(np.argmax(powers[j]))]
+            if carr_freq[i] == 0.0:
+                carr_freq[i] = 1.0   # acquisition.m:257-260
+            code_phase[i] = int(phase_idx[i])
+            # downsampling recovery (acquisition.m:262-282)
+            code_phase[i], carr_freq[i] = recover(code_phase[i],
+                                                  carr_freq[i], rs_info)
 
     return AcquisitionResult(
         prns=prns, carr_freq=carr_freq, code_phase=code_phase,

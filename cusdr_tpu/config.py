@@ -61,7 +61,10 @@ class ReceiverConfig:
     acq_satellite_list: Tuple[int, ...] = tuple(range(1, 33))
     acq_search_band: float = 7000.0     # single-sided Doppler search band [Hz]
     acq_non_coh_time: int = 20          # non-coherent rounds [code periods]
-    acq_coh_time: int = 1               # coherent integration [code periods]
+    acq_coh_time: int = 1               # coherent integration [ms]; spans
+                                        # of > one code period tile the code
+                                        # replica (no secondary/bit wipe-off
+                                        # in the coarse stage)
     acq_threshold: float = 3.5
     acq_search_step: float = 500.0      # coarse Doppler step [Hz]
     resampling_threshold: float = 8e6

@@ -75,3 +75,48 @@ def test_best_channels_ordering(scene):
     assert metrics == sorted(metrics, reverse=True)
     # strongest SV (48 dB-Hz) first
     assert best[0][0] == 3
+
+
+def test_circshift_matches_brute_force(scene):
+    """The circular-shift frequency search (one signal FFT, Doppler via
+    spectrum rotation — GPS_L2C/include/acquisition.m:25,71-84) must find
+    the same SVs at the same code phases, with carrier frequency within
+    the fine step, as the per-bin PCPS grid."""
+    cfg, sig, res = scene
+    samples = synthesize_if(cfg, sig, TRUTH, num_ms=60, seed=3)
+    res_c = acquire(cfg.replace(acq_method="circshift"), sig, samples)
+    for sv in TRUTH:
+        i = list(res.prns).index(sv.prn)
+        assert res_c.detected[i]
+        assert int(res_c.code_phase[i]) == int(res.code_phase[i])
+        assert abs(res_c.carr_freq[i] - (cfg.if_freq + sv.doppler_hz)) \
+            <= cfg.fine_search_step
+    present = {sv.prn for sv in TRUTH}
+    false = {int(p) for i, p in enumerate(res_c.prns)
+             if res_c.detected[i]} - present
+    assert not false
+
+
+def test_coherent_blocks():
+    """acq_coh_time > one code period tiles the replica for longer
+    coherent integration; a weak SV on a fine grid gains metric vs the
+    1-ms baseline (coherent SNR gain)."""
+    cfg = get_config("gps_l1ca", sampling_freq=4.092e6, if_freq=9.548e3,
+                     acq_satellite_list=(5, 9), acq_non_coh_time=4,
+                     acq_search_step=100.0)   # step < 1/(2*T_coh)
+    sig = get_signal("gps_l1ca")
+    sv = SynthSV(prn=9, code_phase=2500.0, doppler_hz=1150.0,
+                 cn0_dbhz=38)
+    samples = synthesize_if(cfg, sig, [sv], num_ms=60, seed=11)
+    res1 = acquire(cfg, sig, samples)
+    res4 = acquire(cfg.replace(acq_coh_time=4, acq_non_coh_time=1),
+                   sig, samples)
+    i = list(res4.prns).index(9)
+    assert res4.detected[i]
+    spc = cfg.samples_per_code
+    err = (int(res4.code_phase[i]) - 2500) % spc
+    assert min(err, spc - err) <= 1.5
+    assert abs(res4.carr_freq[i] - (cfg.if_freq + 1150.0)) \
+        <= cfg.fine_search_step
+    # coherent gain: metric improves over the same total data
+    assert res4.peak_metric[i] > res1.peak_metric[i]

@@ -32,11 +32,13 @@ IF = 7000.0
 
 
 def _cfg(**kw):
+    # FULL preset band (±10 kHz at 12.5 Hz effective step) — feasible
+    # because the circshift search never materializes the 1601-bin mixed
+    # tensor (pcps._pcps_circshift_kernel); PLL at the preset 10 Hz x
+    # 20 ms via the exact loop design.
     return get_config("gps_l2c", sampling_freq=FS, if_freq=IF,
                       acq_satellite_list=(3, 7, 9),
-                      acq_search_band=400.0, acq_search_step=12.5,
-                      fine_search_step=5.0, acq_threshold=3.0,
-                      pll_noise_bandwidth=6.0, **kw)
+                      fine_search_step=5.0, acq_threshold=3.0, **kw)
 
 
 def test_cl_phase_search_resolves_period():

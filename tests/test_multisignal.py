@@ -19,15 +19,15 @@ CASES = {
                      epochs=200),
     # 20 ms coherent PCPS needs fine Doppler bins (reference uses
     # 12.5 Hz circshift search, GPS_L2C/include/acquisition.m:25)
+    # runs at the PRESET loop point (PLL 10 Hz x 20 ms, BL*T=0.2):
+    # stable via the pole-placement design (loop_design='exact',
+    # tracking/loop_filters.py); band reduced for CPU runtime only —
+    # the full ±10 kHz preset band is exercised in test_e2e_l2c.py
     "gps_l2c": dict(fs=2.048e6, prns=(3, 8), search=range(1, 9),
                     epochs=25, band=300.0, dopplers=(120.0, -80.0),
-                    # pll 10 Hz x 20 ms (the reference preset) sits at
-                    # BL*T=0.2 where the rectangular-integrator loop is
-                    # unstable; 6 Hz is the stable operating point
                     overrides=dict(acq_threshold=3.0,
                                    acq_search_step=12.5,
-                                   fine_search_step=5.0,
-                                   pll_noise_bandwidth=6.0)),
+                                   fine_search_step=5.0)),
     "gps_l5c": dict(fs=12.288e6, prns=(5, 11), search=range(1, 13),
                     epochs=200, overrides=dict(acq_non_coh_time=6)),
     "gal_e1c": dict(fs=4.096e6, prns=(4, 8), search=range(1, 9),
