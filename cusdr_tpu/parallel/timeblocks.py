@@ -198,10 +198,41 @@ def track_time_parallel(cfg, sig: SignalDef, samples_iq: np.ndarray,
                                                 axis=0),
                 states0, final)
 
+    # ---- Costas 180° sign resolution across block boundaries --------------
+    # A block's lock sign is ambiguous: it ran from an open-loop predicted
+    # phase (predict mode) or its left neighbor's PREVIOUS-pass final
+    # state (handoff) — either way the Costas loop may settle π away from
+    # its neighbor, inverting every correlator output of the block and
+    # breaking the stitched nav-bit stream (LNAV parity / Viterbi) at the
+    # boundary.  A locked loop holds the NCO within ~0 or ~π of the true
+    # carrier, so the phase discrepancy at each boundary — block k's
+    # final-pass end phase vs the start phase block k+1 actually used,
+    # propagated over any small sample offset — resolves the relative
+    # sign; cumulative products re-sign every block onto block 0's
+    # (true) sign.
+    if n_blocks > 1:
+        fs = cfg.sampling_freq
+        fin_phi = np.asarray(final.rem_carr_phase)    # [B, C] rad
+        fin_s = np.asarray(final.abs_sample).astype(np.float64)
+        fin_f = np.asarray(final.carr_freq)
+        st_phi = np.asarray(states.rem_carr_phase)
+        st_s = np.asarray(states.abs_sample).astype(np.float64)
+        dphi = (fin_phi[:-1] - st_phi[1:]
+                + 2.0 * np.pi * fin_f[:-1] * (st_s[1:] - fin_s[:-1]) / fs)
+        rel = np.where(np.cos(dphi) < 0.0, -1.0, 1.0)      # [B-1, C]
+        signs = np.concatenate(
+            [np.ones((1, rel.shape[1])), np.cumprod(rel, axis=0)],
+            axis=0).astype(np.float32)                     # [B, C]
+    else:
+        signs = None
+
+    _SIGNED = {"i_e", "q_e", "i_p", "q_p", "i_l", "q_l", "pi_p", "pq_p"}
     # outs leaves: [B, epochs_per_block, C] -> [C, B*epochs_per_block]
     merged = {}
     for name in TrackOutputs._fields:
         v = np.asarray(getattr(outs, name))
+        if signs is not None and name in _SIGNED:
+            v = v * signs[:, None, :]
         merged[name] = np.concatenate(list(v), axis=0).T
     res = TrackResults([ch[0] for ch in channels], merged, cfg)
     res.n_blocks = n_blocks

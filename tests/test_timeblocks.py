@@ -71,3 +71,47 @@ def test_absolute_samples_continuous(scene):
     ds = np.diff(par.abs_sample[0])
     assert np.all(ds > 0)
     assert np.abs(ds - spc).max() <= spc  # boundary step may differ by <1 period
+
+
+def test_exact_handoff_parity(scene):
+    """With handoff_iters = n_blocks-1, every block has re-run from its
+    left neighbor's true final state, so the stitched trajectory IS the
+    sequential one (same kernel, same epoch order) within float noise."""
+    cfg, seq, par3 = None, None, None
+    cfg, seq, _ = scene
+    sig = get_signal("gps_l1ca")
+    rng = np.random.default_rng(0)
+    svs = [SynthSV(prn=7, code_phase=1234.0, doppler_hz=2500.0,
+                   cn0_dbhz=47,
+                   nav_bits=rng.choice(np.asarray([-1, 1], np.int8), 300)),
+           SynthSV(prn=13, code_phase=100.2, doppler_hz=-3200.0,
+                   cn0_dbhz=45,
+                   nav_bits=rng.choice(np.asarray([-1, 1], np.int8), 300))]
+    iq = quantize_iq_int8(synthesize_if(cfg, sig, svs, num_ms=4200,
+                                        seed=3))
+    chans = [(7, 9500.0, 1234), (13, 3800.0, 101)]
+    par = track_time_parallel(cfg, sig, iq, chans, n_epochs=4000,
+                              n_blocks=4, handoff_iters=3)
+    assert par.settle_epochs == 0
+    np.testing.assert_array_equal(par.abs_sample, seq.abs_sample)
+    np.testing.assert_allclose(par.carr_freq, seq.carr_freq,
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(par.code_freq, seq.code_freq,
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(par.i_p, seq.i_p, rtol=1e-4, atol=0.5)
+    np.testing.assert_allclose(par.q_p, seq.q_p, rtol=1e-4, atol=0.5)
+
+
+def test_single_handoff_converged_blocks(scene):
+    """handoff_iters=1 (the shipped default): blocks 0 and 1 are exactly
+    sequential; later blocks agree after their (already converged)
+    start."""
+    cfg, seq, par = scene
+    epb = 1000
+    np.testing.assert_allclose(par.carr_freq[:, :2 * epb],
+                               seq.carr_freq[:, :2 * epb],
+                               rtol=0, atol=1e-6)
+    # converged later blocks: same trajectory within loop noise
+    tail = slice(2 * epb, 4 * epb)
+    assert np.abs(par.carr_freq[:, tail]
+                  - seq.carr_freq[:, tail]).max() < 2.0
