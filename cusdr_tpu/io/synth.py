@@ -125,7 +125,13 @@ def synthesize_if(cfg, sig: SignalDef, svs: Sequence[SynthSV],
                                         nav_symbol_chips,
                                         periods=max(
                                             sig.pilot_phase_hypotheses, 1))
-                base = (a_d * data_vals + 1j * a_p * pilot_vals)
+                if sig.pilot_in_phase:
+                    # time-multiplexed pilot on the data carrier: the RZ
+                    # chip slots interleave CM/CL on one phase (L2C TMRZ,
+                    # generateL2Ccode.m chip multiplex)
+                    base = a_d * data_vals + a_p * pilot_vals
+                else:
+                    base = (a_d * data_vals + 1j * a_p * pilot_vals)
             else:
                 base = amp * data_vals
             acc = acc + (base * carrier).astype(np.complex64)

@@ -226,7 +226,7 @@ def track_time_parallel(cfg, sig: SignalDef, samples_iq: np.ndarray,
     else:
         signs = None
 
-    _SIGNED = {"i_e", "q_e", "i_p", "q_p", "i_l", "q_l", "pi_p", "pq_p"}
+    _SIGNED = {"i_e", "q_e", "i_p", "q_p", "i_l", "q_l", "pilot_ip", "pilot_qp"}
     # outs leaves: [B, epochs_per_block, C] -> [C, B*epochs_per_block]
     merged = {}
     for name in TrackOutputs._fields:

@@ -276,11 +276,16 @@ def _epoch_one_channel(samples_iq, sb_start, end_sample, code_table,
         if p.fast_code:
             if p.pilot_period_mod > 1:
                 # long pilot (L2C CL): advance the slice by the current
-                # pilot period within the full-period table
+                # pilot period within the full-period table.  The chip →
+                # index map is a property of the TABLE: divide by the
+                # BUILD-time step (code_freq_basis), not the live DLL
+                # rate — at period P the difference is amplified by
+                # P·code_len chips and would walk the replica off by
+                # whole chips within a few periods.
                 pchips = (st.rem_code_phase
                           + st.pilot_period.astype(jnp.float64)
                           * p.code_len)
-                pshift_f = pchips / code_phase_step
+                pshift_f = pchips / (st.code_freq_basis / p.fs)
                 pshift = jnp.floor(pshift_f).astype(jnp.int32)
                 palpha = (pshift_f - jnp.floor(pshift_f)
                           ).astype(jnp.float32)
@@ -465,9 +470,10 @@ def _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start, end_sample,
     palpha = alpha
     if p.has_pilot:
         if p.pilot_period_mod > 1:
+            # divide by the BUILD-time step (see _epoch_one_channel)
             pchips = (st.rem_code_phase
                       + st.pilot_period.astype(jnp.float64) * p.code_len)
-            pshift_f = pchips / code_phase_step
+            pshift_f = pchips / (st.code_freq_basis / p.fs)
             pshift = jnp.floor(pshift_f).astype(jnp.int32)
             palpha = (pshift_f - jnp.floor(pshift_f)).astype(jnp.float32)
             pstart = p.up_margin + pshift - k

@@ -76,11 +76,11 @@ def chain():
     i = list(acq.prns).index(7)
     chans = [(7, float(acq.carr_freq[i]), int(acq.code_phase[i]))]
     trk = track(cfg, sig, iq, chans, n_epochs=1860)
-    return cfg, sig, sv, acq, trk, tow0
+    return cfg, sig, sv, acq, trk, tow0, iq
 
 
 def test_acquisition_20ms_coherent(chain):
-    cfg, sig, sv, acq, trk, tow0 = chain
+    cfg, sig, sv, acq, trk, tow0, iq = chain
     i = list(acq.prns).index(7)
     assert acq.detected[i]
     err = abs(int(acq.code_phase[i]) - 7000) % cfg.samples_per_code
@@ -92,7 +92,7 @@ def test_acquisition_20ms_coherent(chain):
 
 
 def test_tracking_lock_20ms_epochs(chain):
-    cfg, sig, sv, acq, trk, tow0 = chain
+    cfg, sig, sv, acq, trk, tow0, iq = chain
     ip = np.abs(trk.i_p[0, -500:]).mean()
     qp = np.abs(trk.q_p[0, -500:]).mean()
     assert ip > 3 * qp
@@ -103,7 +103,7 @@ def test_tracking_lock_20ms_epochs(chain):
 
 
 def test_cnav_decode_through_pipeline(chain):
-    cfg, sig, sv, acq, trk, tow0 = chain
+    cfg, sig, sv, acq, trk, tow0, iq = chain
     eph, start, tow = decode_channel(trk, 0, cfg, sig)
     assert eph is not None
     assert cnav.has_ephemeris(eph)
@@ -115,3 +115,39 @@ def test_cnav_decode_through_pipeline(chain):
     assert eph["ADot"] == pytest.approx(
         round(EPH["ADot"] * 2 ** 21) * 2.0 ** -21, abs=1e-12)
     assert tow == tow0
+
+
+def test_cl_pilot_tracking_improves(chain):
+    """CL pilot correlators (pilot_trk_flag=1): the resolved CL phase
+    seeds the 75-period pilot counter, the time-multiplexed pilot E/P/L
+    run on the data carrier, and averaged data+pilot discriminators cut
+    carrier jitter vs CM-only (GPS_L2C/include/tracking.m:160-166,
+    317-364; CL counter rollover at 76 -> pilot_period_mod=75)."""
+    cfg, sig, sv, acq, trk, tow0, iq = chain
+    i = list(acq.prns).index(7)
+    chans = [(7, float(acq.carr_freq[i]), int(acq.code_phase[i]),
+              int(acq.pilot_phase[i]))]
+    trkp = track(cfg.replace(pilot_trk_flag=1), sig, iq, chans,
+                 n_epochs=900)
+    # the pilot prompt must be coherently locked through the full-period
+    # CL table (equal CM/CL power split -> comparable envelopes)
+    pe = np.hypot(trkp.pilot_ip[0, 100:], trkp.pilot_qp[0, 100:]).mean()
+    de = np.hypot(trkp.i_p[0, 100:], trkp.q_p[0, 100:]).mean()
+    assert pe > 0.6 * de, (pe, de)
+    # averaged discriminators: lower carrier jitter than CM-only over
+    # the same epochs (two equal-power components -> ~1/sqrt(2))
+    sl = slice(100, 900)
+    assert np.std(trkp.pll_discr[0, sl]) < 0.85 * np.std(trk.pll_discr[0, sl])
+
+
+def test_cl_pilot_wrong_phase_no_lock(chain):
+    """Sanity: a wrong CL period hypothesis decorrelates the pilot."""
+    cfg, sig, sv, acq, trk, tow0, iq = chain
+    i = list(acq.prns).index(7)
+    wrong = (int(acq.pilot_phase[i]) + 30) % 75
+    chans = [(7, float(acq.carr_freq[i]), int(acq.code_phase[i]), wrong)]
+    trkp = track(cfg.replace(pilot_trk_flag=1), sig, iq, chans,
+                 n_epochs=200)
+    pe = np.hypot(trkp.pilot_ip[0, 50:], trkp.pilot_qp[0, 50:]).mean()
+    de = np.hypot(trkp.i_p[0, 50:], trkp.q_p[0, 50:]).mean()
+    assert pe < 0.3 * de, (pe, de)
