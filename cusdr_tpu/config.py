@@ -98,6 +98,12 @@ class ReceiverConfig:
                                         # stable at any BL*T, identical as T->0
     lock_detect: bool = False           # drop channels on PLL loss of lock
     lock_threshold: float = 0.3         # NBD/NBP gate (Calc_CNo_PLD.m:65-73)
+    lock_power_drop_db: float = 10.0    # prompt-power drop vs the channel's
+                                        # own first-superblock baseline that
+                                        # also trips the gate (the
+                                        # rectified-I NBD/NBP detector
+                                        # saturates near 1 on pure noise, so
+                                        # a blackout only shows in power)
 
     # --- navigation solution (initSettings.m:106-121) -------------------------
     nav_sol_period_ms: int = 500

@@ -31,6 +31,9 @@ class SynthSV:
     carrier_phase: float = 0.0  # initial carrier phase [rad]
     nav_bits: Optional[np.ndarray] = None   # ±1 at nav_symbol_ms rate
     fdma_channel: int = 0       # GLONASS frequency channel number
+    stop_ms: Optional[float] = None  # signal disappears after this time
+                                     # (setting/blockage — exercises the
+                                     # channel loss-of-lock lifecycle)
 
 
 def _component(sig: SignalDef, sv: SynthSV, chip_phase: np.ndarray,
@@ -134,6 +137,8 @@ def synthesize_if(cfg, sig: SignalDef, svs: Sequence[SynthSV],
                     base = (a_d * data_vals + 1j * a_p * pilot_vals)
             else:
                 base = amp * data_vals
+            if sv.stop_ms is not None:
+                base = base * (t < sv.stop_ms * 1e-3)
             acc = acc + (base * carrier).astype(np.complex64)
         out[start:stop] = acc
     return out

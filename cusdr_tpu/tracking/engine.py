@@ -776,6 +776,7 @@ def track(cfg, sig: SignalDef, samples_iq: np.ndarray,
     end_sample = jnp.int64(total_samples)
     vsm = cfg.cno.vsm_interval_ms
     low_lock = np.zeros(len(channels), np.int32)
+    base_pwr = None
     chunks = []
     done = 0
     while done < n_epochs:
@@ -793,18 +794,29 @@ def track(cfg, sig: SignalDef, samples_iq: np.ndarray,
         done += cur
         max_phase = int(np.max(np.asarray(state.abs_sample)))
         if cfg.lock_detect and cur >= vsm:
-            # PLL lock gate between superblocks (Calc_CNo_PLD.m NBD/NBP):
-            # a channel below threshold for 2 consecutive superblocks is
-            # dropped, mirroring the reference's channel-status lifecycle
+            # lock gate between superblocks: PLL NBD/NBP detector
+            # (Calc_CNo_PLD.m) plus a RELATIVE prompt-power gate against
+            # the channel's own first-superblock baseline (the
+            # rectified-I detector saturates near 1 on pure noise, so a
+            # signal blackout only shows in the power).  A channel
+            # failing either gate for 2 consecutive superblocks is
+            # dropped — the reference's channel-status lifecycle
+            # ('T' -> '-', showChannelStatus.m) made per-channel.
             from .cno import pll_lock_detector
             act = np.asarray(state.active)
+            pwr = (out_np.i_p.astype(np.float64) ** 2
+                   + out_np.q_p.astype(np.float64) ** 2).mean(axis=0)
+            if base_pwr is None:
+                base_pwr = pwr.copy()
+            drop_ratio = 10.0 ** (-cfg.lock_power_drop_db / 10.0)
             for c in range(len(channels)):
                 if not act[c]:
                     continue
                 pld = pll_lock_detector(out_np.i_p[-vsm:, c],
                                         out_np.q_p[-vsm:, c])
-                low_lock[c] = low_lock[c] + 1 \
-                    if pld < cfg.lock_threshold else 0
+                bad = (pld < cfg.lock_threshold
+                       or pwr[c] < drop_ratio * base_pwr[c])
+                low_lock[c] = low_lock[c] + 1 if bad else 0
             drop = low_lock >= 2
             if drop.any():
                 state = state._replace(
