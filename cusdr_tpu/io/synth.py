@@ -128,7 +128,20 @@ def synthesize_if(cfg, sig: SignalDef, svs: Sequence[SynthSV],
                                         nav_symbol_chips,
                                         periods=max(
                                             sig.pilot_phase_hypotheses, 1))
-                if sig.pilot_in_phase:
+                if sig.pilot_code_wb is not None:
+                    # full QMBOC (B1C): of 44 power units — data BOC(1,1)
+                    # 11 on +I, pilot BOC(1,1) 29 on +Q, pilot BOC(6,1)
+                    # 4 at j^pilot_wb_rot (ICD split; the reference's
+                    # 11/29/40 acquisition weights exclude the 4,
+                    # acquisition.m:213-214, WB_tracking.m:364-369)
+                    wb_vals = _component(sig, pilot_sv, chip_phase,
+                                         sig.pilot_code_wb(sv.prn), psec,
+                                         nav_symbol_chips)
+                    rot = 1j ** sig.pilot_wb_rot
+                    base = (amp * np.sqrt(11.0 / 44.0) * data_vals
+                            + 1j * amp * np.sqrt(29.0 / 44.0) * pilot_vals
+                            + rot * amp * np.sqrt(4.0 / 44.0) * wb_vals)
+                elif sig.pilot_in_phase:
                     # time-multiplexed pilot on the data carrier: the RZ
                     # chip slots interleave CM/CL on one phase (L2C TMRZ,
                     # generateL2Ccode.m chip multiplex)

@@ -40,7 +40,7 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.lru_cache(maxsize=64)
 def _build_call(blk_pad: int, wlen: int, k: int, has_pilot: bool,
-                pilot_quadrature: bool, interpret: bool):
+                pilot_rot: int, interpret: bool):
     n_out = 16 if has_pilot else 8
 
     def kernel(*refs):
@@ -87,13 +87,18 @@ def _build_call(blk_pad: int, wlen: int, k: int, has_pilot: bool,
         z = jnp.zeros((cb, 1), jnp.float32)
         if has_pilot:
             pe, pp, plate = taps(wp_r, alphap_r[:])
-            if pilot_quadrature:
-                # pilot carrier rotated by π/2: exp(-j(φ-π/2))·s = j·bb
-                pb_i, pb_q = -bb_q, bb_i
-            else:
-                # time-multiplexed pilot on the data carrier (L2C CL,
-                # GPS_L2C/include/tracking.m:317-324)
+            # pilot carrier at j^rot vs data: 1 = quadrature
+            # (exp(-j(φ-π/2))·s = j·bb), 0 = time-multiplexed (L2C CL,
+            # GPS_L2C/include/tracking.m:317-324), 2 = -I (B1C BOC(6,1),
+            # WB_tracking.m:364-369), 3 = -Q
+            if pilot_rot == 0:
                 pb_i, pb_q = bb_i, bb_q
+            elif pilot_rot == 1:
+                pb_i, pb_q = -bb_q, bb_i
+            elif pilot_rot == 2:
+                pb_i, pb_q = -bb_i, -bb_q
+            else:
+                pb_i, pb_q = bb_q, -bb_i
             cols += [s(pe * pb_i), s(pe * pb_q),
                      s(pp * pb_i), s(pp * pb_q),
                      s(plate * pb_i), s(plate * pb_q), z, z, z, z]
@@ -136,7 +141,7 @@ def _build_call(blk_pad: int, wlen: int, k: int, has_pilot: bool,
 
 
 def correlate_bank(alpha, remc, shi, slo, bsz, si, sq, wt, wp=None,
-                   *, k: int, alpha_p=None, pilot_quadrature: bool = True,
+                   *, k: int, alpha_p=None, pilot_rot: int = 1,
                    interpret: bool = False):
     """Correlator sums for a channel bank.
 
@@ -148,14 +153,15 @@ def correlate_bank(alpha, remc, shi, slo, bsz, si, sq, wt, wp=None,
       blk_pad + 2k + 1 from tap -k)
     alpha_p: [C, 1] f32 pilot interpolation fraction (defaults to alpha;
       differs for long pilots whose slice advances per epoch)
-    pilot_quadrature: False for time-multiplexed pilots (L2C CL)
+    pilot_rot: pilot carrier phase in quarter turns vs data (1 =
+      quadrature, 0 = time-multiplexed L2C CL, 2 = -I B1C BOC(6,1))
     Returns [C, 8] (or [C, 16] with pilot) f32:
       iE qE iP qP iL qL [piE pqE piP pqP piL pqL] 0-pad.
     """
     blk_pad = si.shape[1]
     wlen = wt.shape[1]
     call = _build_call(blk_pad, wlen, int(k), wp is not None,
-                       bool(pilot_quadrature), bool(interpret))
+                       int(pilot_rot), bool(interpret))
     if alpha_p is None:
         alpha_p = alpha
     return call(alpha, alpha_p, remc, shi, slo, bsz, si, sq, wt, wp)

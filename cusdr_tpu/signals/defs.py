@@ -54,6 +54,11 @@ class SignalDef:
     # wideband pilot replica (B1C QMBOC BOC(6,1)) + its elements/chip
     pilot_code_wb: Optional[Callable[[int], np.ndarray]] = None
     pilot_wb_elements_per_chip: int = 0
+    # carrier phase of the WB pilot component in quarter turns relative
+    # to the data component (B1C ICD: data on +I, pilot BOC(1,1) on +Q,
+    # pilot BOC(6,1) on -I — the reference's -sqrt(4/33)*p61_I signs,
+    # WB_tracking.m:364-369)
+    pilot_wb_rot: int = 1
 
     @property
     def code_period_ms(self) -> float:
@@ -152,7 +157,7 @@ REGISTRY = {
         acq_weights=(np.sqrt(11.0), np.sqrt(29.0)),
         pilot_secondary=beidou.b1c_secondary,
         pilot_code_wb=beidou.b1c_pilot_boc61,
-        pilot_wb_elements_per_chip=12,
+        pilot_wb_elements_per_chip=12, pilot_wb_rot=2,
         nav_codec="bcnav1", nav_symbol_ms=10.0),
 
     "bds_b1i": SignalDef(

@@ -73,10 +73,12 @@ class TrackParams:
     pf3: float = 0.0
     use_pallas: bool = False    # fused Pallas correlator bank (TPU)
     pallas_interpret: bool = False   # interpreter mode (CPU parity tests)
-    pilot_quadrature: bool = True    # pilot carrier rotated pi/2 (L5/E1/E5
-                                     # quadrature pilots); False for L2C's
-                                     # time-multiplexed CL (same carrier,
-                                     # GPS_L2C/include/tracking.m:317-324)
+    pilot_rot: int = 1          # pilot carrier phase in quarter turns vs
+                                # data: 1 = +Q (L5/E1/E5 quadrature
+                                # pilots), 0 = +I (L2C time-multiplexed
+                                # CL, GPS_L2C/include/tracking.m:317-324),
+                                # 2 = -I (B1C QMBOC BOC(6,1),
+                                # WB_tracking.m:364-369), 3 = -Q
     pilot_period_mod: int = 0   # long pilot spanning N code periods: the
                                 # pilot replica advances one period per
                                 # epoch, rolling at N (L2C CL: 75,
@@ -167,6 +169,17 @@ def init_channel_state(channels: Sequence, code_freq_basis: float,
         abs_sample=jnp.asarray(phase),
         pilot_period=jnp.asarray(pper),
         active=jnp.ones(c, bool))
+
+
+def _pilot_rotate(bb_i, bb_q, rot: int):
+    """j^rot · (bb_i + j·bb_q) as an (i, q) pair (TrackParams.pilot_rot)."""
+    if rot == 0:
+        return bb_i, bb_q
+    if rot == 1:
+        return -bb_q, bb_i
+    if rot == 2:
+        return -bb_i, -bb_q
+    return bb_q, -bb_i
 
 
 def _epoch_one_channel(samples_iq, sb_start, end_sample, code_table,
@@ -318,13 +331,9 @@ def _epoch_one_channel(samples_iq, sb_start, end_sample, code_table,
             pprompt = pchips(jnp.float32(0.0))
             pearly, plate = pchips(jnp.float32(-p.spacing)), \
                 pchips(jnp.float32(p.spacing))
-        if p.pilot_quadrature:
-            # rotate: exp(-j(phase - π/2))·s = j·[exp(-j·phase)·s]
-            pb_i, pb_q = -bb_q, bb_i
-        else:
-            # time-multiplexed pilot shares the data carrier
-            # (GPS_L2C/include/tracking.m:317-324)
-            pb_i, pb_q = bb_i, bb_q
+        # rotate baseband by the pilot's quarter-turn phase: j^rot · bb
+        # (rot 1: exp(-j(phase - π/2))·s = j·[exp(-j·phase)·s])
+        pb_i, pb_q = _pilot_rotate(bb_i, bb_q, p.pilot_rot)
         pcodes = jnp.stack([pearly, pprompt, plate])
         pbb = jnp.stack([pb_i, pb_q], axis=1)
         psums = jnp.dot(pcodes, pbb, preferred_element_type=jnp.float32)
@@ -492,7 +501,7 @@ def _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start, end_sample,
     out = correlate_bank(col(alpha), col(remc), col(shi), col(slo),
                          col(blksize.astype(jnp.float32)),
                          si, sq, wt, wp, alpha_p=col(palpha), k=k,
-                         pilot_quadrature=p.pilot_quadrature,
+                         pilot_rot=p.pilot_rot,
                          interpret=p.pallas_interpret)
     i_e, q_e, i_p, q_p, i_l, q_l = (out[:, j] for j in range(6))
     if p.has_pilot:
@@ -708,7 +717,10 @@ def make_track_params(cfg, sig: SignalDef) -> TrackParams:
     return TrackParams(
         fast_code=fast, k_spacing=max(int(round(k_nominal)), 1),
         use_pallas=bool(use_pallas and fast),
-        pilot_quadrature=not sig.pilot_in_phase,
+        pilot_rot=(sig.pilot_wb_rot
+                   if cfg.pilot_trk_flag == 2
+                   and sig.pilot_code_wb is not None
+                   else (0 if sig.pilot_in_phase else 1)),
         pilot_period_mod=(sig.pilot_phase_hypotheses
                           if has_pilot and sig.pilot_phase_hypotheses > 1
                           else 0),

@@ -101,6 +101,60 @@ def test_bcnav1_decode_through_pipeline(chain):
     assert start % 1800 == 0
 
 
+@pytest.fixture(scope="module")
+def wb_chain():
+    """WB (QMBOC) chain: the BOC(6,1) pilot mainlobes sit at ±6.14 MHz,
+    so the wideband mode needs a wide front end (reference FEBW=27 MHz,
+    initSettings.m:59) — fs here is 16×1.023 MHz, which also puts the
+    0.06-chip correlator spacing on the fast sliced-replica path.  Pilot
+    correlators run on the BOC(6,1) component at its ICD phase (−I) with
+    RMS-bandwidth DLL weighting (WB_tracking.m:176-188,292-315).
+    Channels are truth-initialized (acquisition is covered by the NB
+    chain) with a deliberate 5 Hz carrier error to exercise pull-in."""
+    fs_wb = 16.368e6
+    cfgw = get_config("bds_b1c", sampling_freq=fs_wb, if_freq=IF,
+                      pilot_trk_flag=2)
+    sig = get_signal("bds_b1c")
+    frames = [bcnav.bcnav1_encode_frame(PRN, SOH + i, EPH)
+              for i in range(2)]
+    nav = (1 - 2 * np.concatenate(frames)).astype(np.int8)
+    sv = SynthSV(prn=PRN, code_phase=20480.0, doppler_hz=150.0,
+                 cn0_dbhz=47, nav_bits=nav)
+    samples = synthesize_if(cfgw, sig, [sv], num_ms=19_500, seed=9)
+    iq = quantize_iq_int8(samples)
+    del samples
+    chans = [(PRN, IF + 155.0, 20480)]
+    trkw = track(cfgw, sig, iq, chans, n_epochs=1900)
+    return cfgw, sig, trkw
+
+
+def test_wb_tracking_boc61_pilot_lock(wb_chain):
+    """The BOC(6,1) pilot correlators must be coherently locked: the
+    4/44-power wideband component concentrates on the rotated in-phase
+    axis and carries the 1800-chip secondary like the BOC(1,1) pilot."""
+    cfgw, sig, trkw = wb_chain
+    pip = np.abs(trkw.pilot_ip[0, -800:]).mean()
+    pqp = np.abs(trkw.pilot_qp[0, -800:]).mean()
+    ip = np.abs(trkw.i_p[0, -800:]).mean()
+    qp = np.abs(trkw.q_p[0, -800:]).mean()
+    assert ip > 3 * qp
+    assert pip > 2.5 * pqp
+    # BOC(6,1) pilot holds 4/11 of the data power
+    assert 0.3 < pip / ip < 1.2, pip / ip
+
+
+def test_wb_bcnav1_decode_through_pipeline(wb_chain):
+    """Full WB chain to B-CNAV1 ephemeris (BCH + de-interleave + CRC)."""
+    cfgw, sig, trkw = wb_chain
+    eph, start, tow = decode_channel(trkw, 0, cfgw, sig)
+    assert eph is not None
+    assert bcnav.bcnav1_has_ephemeris(eph)
+    for k in ("M_0", "e", "omega", "omega_0", "i_0", "t_oe", "a_f0"):
+        assert eph[k] == pytest.approx(EPH[k], rel=1e-6,
+                                       abs=abs(EPH[k]) * 1e-6 + 1e-12), k
+    assert tow == EPH["HOW"] * 3600.0 + SOH * 18.0
+
+
 class TestCnavKepler:
     def test_matches_classic_kepler_at_reference_values(self):
         t = 351000.0
