@@ -114,14 +114,17 @@ def main():
     n_blocks = 40
     epb = n_epochs // n_blocks
     blk_len = (epb + 4) * spc
-    sbs = np.stack([samples[2 * b * spc:2 * (b * spc + blk_len)]
-                    for b in range(n_blocks)])
-    starts = jnp.asarray(np.arange(n_blocks, dtype=np.int64) * spc)
+    starts_np = np.arange(n_blocks, dtype=np.int64) * (epb * spc)
+    sbs = np.stack([samples[2 * s:2 * (s + blk_len)]
+                    for s in starts_np])
+    starts = jnp.asarray(starts_np)
+    ends = jnp.asarray(starts_np + blk_len)
     st_b = jax.tree.map(lambda x: jnp.stack([x] * n_blocks), state)
+    st_b = st_b._replace(abs_sample=st_b.abs_sample + starts[:, None])
     sbs_d = jnp.asarray(sbs)
 
     def run_track_tp():
-        st, outs = _track_blocks(sbs_d, starts, ctabs, ptabs, st_b,
+        st, outs = _track_blocks(sbs_d, starts, ends, ctabs, ptabs, st_b,
                                  params, epb)
         return np.asarray(st.carr_freq)
 

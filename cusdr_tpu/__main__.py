@@ -120,7 +120,10 @@ def main(argv=None):
     else:
         from .acquisition import acquire
         spc = cfg.samples_per_code
-        n_acq = (cfg.acq_non_coh_time + 45) * spc
+        n_coh = max(1, int(round(cfg.acq_coh_time
+                                 / max(sig.code_period_ms, 1e-9))))
+        n_acq = (cfg.acq_non_coh_time * n_coh
+                 + max(cfg.fine_n_codes, 45) + 2) * spc
         acq_sig = (samples[0:2 * n_acq:2].astype(np.float32)
                    + 1j * samples[1:2 * n_acq:2].astype(np.float32))
         with timer.stage("acquisition", samples=n_acq):

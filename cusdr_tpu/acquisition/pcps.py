@@ -22,6 +22,7 @@ TPU redesign (not a port):
 from __future__ import annotations
 
 import functools
+import warnings
 from dataclasses import dataclass
 from typing import Optional, Sequence
 
@@ -514,8 +515,17 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
     #     (acquisition.m:240-248)
     #   * long secondary (B1C 1800): data-sign-insensitive envelope fine
     #     search (BDS/B1C/include/acquisition.m:262-263 CW-style)
-    n_codes = fine_n_codes or max(
+    n_codes = fine_n_codes or cfg.fine_n_codes or max(
         int(round(40.0 / max(sig.code_period_ms, 1e-9))), 4)
+    # clamp to the record so a short acquisition slice degrades the fine
+    # resolution instead of crashing (a code phase can sit anywhere in
+    # the first period, so n_codes + 1 periods must fit)
+    n_codes_max = len(samples) // spc - 1
+    if n_codes > n_codes_max:
+        warnings.warn(
+            f"fine stage clamped from {n_codes} to {n_codes_max} code "
+            f"periods by the record length ({len(samples)} samples)")
+        n_codes = max(n_codes_max, 1)
     carr_freq = np.zeros(len(prns))
     code_phase = np.zeros(len(prns), np.int64)
     fine_step = cfg.fine_search_step

@@ -159,15 +159,8 @@ def track_time_parallel(cfg, sig: SignalDef, samples_iq: np.ndarray,
         ctabs, ptabs = build_replica_tables(cfg, sig, params, channels,
                                             dopplers0)
     else:
-        ctabs = np.stack([sig.data_code(0 if sig.fdma else int(ch[0]))
-                          for ch in channels])
-        if params.has_pilot:
-            pfn = sig.pilot_code_wb if (cfg.pilot_trk_flag == 2
-                                        and sig.pilot_code_wb is not None) \
-                else sig.pilot_code
-            ptabs = np.stack([pfn(int(ch[0])) for ch in channels])
-        else:
-            ptabs = np.zeros_like(ctabs)
+        from ..tracking.engine import build_element_tables
+        ctabs, ptabs = build_element_tables(cfg, sig, params, channels)
 
     sb_d = jnp.asarray(sb)
     starts_d = jnp.asarray(sb_start)

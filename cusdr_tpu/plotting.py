@@ -172,9 +172,9 @@ def show_channel_status(channels, acq_result, cfg) -> str:
     lines = ["*=========*=====*===============*===========*=============*",
              "| Channel | PRN |   Frequency   |  Doppler  | Code Offset |",
              "*=========*=====*===============*===========*=============*"]
-    for k, (prn, freq, phase) in enumerate(channels):
+    for k, (prn, freq, phase, *_) in enumerate(channels):
         doppler = freq - cfg.if_freq
         lines.append(f"|    {k + 1:2d}   | {prn:3d} | {freq:13.5g} | "
-                     f"{doppler:9.0f} | {phase:11d} |")
+                     f"{doppler:9.0f} | {int(phase):11d} |")
     lines.append(lines[0])
     return "\n".join(lines)

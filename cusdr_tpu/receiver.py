@@ -265,8 +265,14 @@ class Receiver:
             samples_iq = inter
         spc = cfg.samples_per_code
 
-        # acquisition on the leading samples (postProcessing.m:88-100)
-        n_acq = (cfg.acq_non_coh_time + 45) * spc
+        # acquisition on the leading samples (postProcessing.m:88-100),
+        # sized for the coarse slabs (noncoh * coherent periods + 1) AND
+        # the fine stage (fine_n_codes + 1 periods; 45 covers the default
+        # 40 ms window with margin)
+        n_coh = max(1, int(round(cfg.acq_coh_time
+                                 / max(self.sig.code_period_ms, 1e-9))))
+        n_acq = (cfg.acq_non_coh_time * n_coh
+                 + max(cfg.fine_n_codes, 45) + 2) * spc
         acq_sig = (samples_iq[0:2 * n_acq:2].astype(np.float32)
                    + 1j * samples_iq[1:2 * n_acq:2].astype(np.float32))
         acq = acquire(cfg, self.sig, acq_sig)

@@ -83,6 +83,15 @@ class TrackParams:
                                 # pilot replica advances one period per
                                 # epoch, rolling at N (L2C CL: 75,
                                 # GPS_L2C/include/tracking.m:363-364)
+    has_pilot2: bool = False    # composite dual pilot bank: B1C WB QMBOC
+                                # tracks pilot BOC(1,1) AND BOC(6,1)
+                                # simultaneously (WB_tracking.m:292-315)
+    pilot2_rot: int = 2         # bank-2 quarter-turn rotation
+    pilot2_epc: int = 0         # bank-2 elements/chip (BOC(6,1): 12)
+    pilot_w1: float = 1.0       # composite amplitude weights applied to
+    pilot_w2: float = 0.0       # the ROTATED bank sums — the reference's
+                                # -sqrt(4/33)*p61 + sqrt(29/33)*(-j*p11)
+                                # combine (WB_tracking.m:364-369)
 
 
 class ChannelState(NamedTuple):
@@ -282,10 +291,13 @@ def _epoch_one_channel(samples_iq, sb_start, end_sample, code_table,
     i_l, q_l = sums[2, 0], sums[2, 1]
 
     if p.has_pilot:
-        # pilot correlators with π/2-rotated carrier
-        # (GPS_L5C/include/tracking.m:334-345); the pilot table may use a
-        # finer element grid (WB QMBOC BOC(6,1): 12 elements/chip,
-        # WB_tracking.m:176-188)
+        # Pilot correlators.  The raw sums are taken against the SAME
+        # baseband as the data bank and the quarter-turn carrier rotation
+        # (GPS_L5C/include/tracking.m:334-345) is applied to the SUMS —
+        # rotation commutes with the real bilinear correlation, saving
+        # two [blk] vectors per epoch.  The pilot table may use a finer
+        # element grid (WB QMBOC BOC(6,1): 12 elements/chip,
+        # WB_tracking.m:176-188).
         if p.fast_code:
             if p.pilot_period_mod > 1:
                 # long pilot (L2C CL): advance the slice by the current
@@ -295,51 +307,73 @@ def _epoch_one_channel(samples_iq, sb_start, end_sample, code_table,
                 # rate — at period P the difference is amplified by
                 # P·code_len chips and would walk the replica off by
                 # whole chips within a few periods.
-                pchips = (st.rem_code_phase
-                          + st.pilot_period.astype(jnp.float64)
-                          * p.code_len)
-                pshift_f = pchips / (st.code_freq_basis / p.fs)
+                pchips_f = (st.rem_code_phase
+                            + st.pilot_period.astype(jnp.float64)
+                            * p.code_len)
+                pshift_f = pchips_f / (st.code_freq_basis / p.fs)
                 pshift = jnp.floor(pshift_f).astype(jnp.int32)
                 palpha = (pshift_f - jnp.floor(pshift_f)
                           ).astype(jnp.float32)
                 pstart = p.up_margin + pshift - k
             else:
                 pstart, palpha = start, alpha
-            pwin = jax.lax.dynamic_slice(pilot_table, (pstart,),
-                                         (p.blk + 2 * k + 1,))
 
-            def prepl(d):
-                a = jax.lax.slice(pwin, (d,),
-                                  (d + p.blk,)).astype(jnp.float32)
-                b = jax.lax.slice(pwin, (d + 1,),
-                                  (d + 1 + p.blk,)).astype(jnp.float32)
-                return a + palpha * (b - a)
-            pprompt = prepl(k)
-            pearly, plate = prepl(0), prepl(2 * k)
+            def pbank_fast(tab):
+                pwin = jax.lax.dynamic_slice(tab, (pstart,),
+                                             (p.blk + 2 * k + 1,))
+
+                def prepl(d):
+                    a = jax.lax.slice(pwin, (d,),
+                                      (d + p.blk,)).astype(jnp.float32)
+                    b = jax.lax.slice(pwin, (d + 1,),
+                                      (d + 1 + p.blk,)).astype(
+                                          jnp.float32)
+                    return a + palpha * (b - a)
+                return jnp.stack([prepl(0), prepl(k), prepl(2 * k)])
+
+            pcodes = pbank_fast(pilot_table[0] if p.has_pilot2
+                                else pilot_table)
+            pcodes2 = pbank_fast(pilot_table[1]) if p.has_pilot2 else None
         else:
             pepc = p.pilot_epc or epc
             pn_elem = p.code_len * pepc * max(p.pilot_period_mod, 1)
             poff_elem = st.pilot_period * (p.code_len * pepc) \
                 if p.pilot_period_mod > 1 else 0
 
-            def pchips(offset_chips):
-                idx = jnp.ceil((tcode + offset_chips) * pepc).astype(
-                    jnp.int32) - 1 + poff_elem
-                return pilot_table[jnp.mod(idx,
-                                           pn_elem)].astype(jnp.float32)
+            def pbank_gather(pepc_b, base, n_el, off):
+                def pchips(offset_chips):
+                    idx = jnp.ceil((tcode + offset_chips)
+                                   * pepc_b).astype(jnp.int32) - 1 + off
+                    return pilot_table[base + jnp.mod(idx, n_el)].astype(
+                        jnp.float32)
+                return jnp.stack([pchips(jnp.float32(-p.spacing)),
+                                  pchips(jnp.float32(0.0)),
+                                  pchips(jnp.float32(p.spacing))])
 
-            pprompt = pchips(jnp.float32(0.0))
-            pearly, plate = pchips(jnp.float32(-p.spacing)), \
-                pchips(jnp.float32(p.spacing))
-        # rotate baseband by the pilot's quarter-turn phase: j^rot · bb
-        # (rot 1: exp(-j(phase - π/2))·s = j·[exp(-j·phase)·s])
-        pb_i, pb_q = _pilot_rotate(bb_i, bb_q, p.pilot_rot)
-        pcodes = jnp.stack([pearly, pprompt, plate])
-        pbb = jnp.stack([pb_i, pb_q], axis=1)
-        psums = jnp.dot(pcodes, pbb, preferred_element_type=jnp.float32)
-        pi_e, pq_e = psums[0, 0], psums[0, 1]
-        pi_p, pq_p = psums[1, 0], psums[1, 1]
-        pi_l, pq_l = psums[2, 0], psums[2, 1]
+            pcodes = pbank_gather(pepc, 0, pn_elem, poff_elem)
+            pcodes2 = None
+            if p.has_pilot2:
+                # dual-bank tables are concatenated along the element
+                # axis: bank 2 starts after bank 1's elements
+                pcodes2 = pbank_gather(p.pilot2_epc, pn_elem,
+                                       p.code_len * p.pilot2_epc, 0)
+
+        psums = jnp.dot(pcodes, bb, preferred_element_type=jnp.float32)
+        rots = [_pilot_rotate(psums[j, 0], psums[j, 1], p.pilot_rot)
+                for j in range(3)]
+        if p.has_pilot2:
+            # composite QMBOC pilot: both banks rotated onto the in-phase
+            # axis and amplitude-combined (WB_tracking.m:364-369):
+            # -sqrt(4/33)·p61 - j·sqrt(29/33)·p11 with p11 on +Q (rot 3)
+            # and p61 on -I (rot 2)
+            psums2 = jnp.dot(pcodes2, bb,
+                             preferred_element_type=jnp.float32)
+            rots2 = [_pilot_rotate(psums2[j, 0], psums2[j, 1],
+                                   p.pilot2_rot) for j in range(3)]
+            w1, w2 = jnp.float32(p.pilot_w1), jnp.float32(p.pilot_w2)
+            rots = [(w1 * a_i + w2 * b_i, w1 * a_q + w2 * b_q)
+                    for (a_i, a_q), (b_i, b_q) in zip(rots, rots2)]
+        (pi_e, pq_e), (pi_p, pq_p), (pi_l, pq_l) = rots
     if not p.has_pilot:
         z = jnp.float32(0.0)
         pi_e = pq_e = pi_p = pq_p = pi_l = pq_l = z
@@ -631,9 +665,12 @@ def build_replica_tables(cfg, sig: SignalDef, params: TrackParams,
     spc_max = int(np.ceil(cfg.sampling_freq * sig.code_length_chips
                           / sig.chip_rate_hz)) + 2
     plength = length + (mod - 1) * spc_max if mod > 1 else length
-    ptabs = np.zeros((c, plength), np.int8)
-    use_wb = (cfg.pilot_trk_flag == 2 and sig.pilot_code_wb is not None)
-    pfn = sig.pilot_code_wb if use_wb else sig.pilot_code
+    if params.has_pilot2:
+        # dual pilot bank (B1C WB QMBOC): bank 0 = BOC(1,1) pilot,
+        # bank 1 = BOC(6,1), sampled on the same sample grid
+        ptabs = np.zeros((c, 2, plength), np.int8)
+    else:
+        ptabs = np.zeros((c, plength), np.int8)
     for k, ch in enumerate(channels):
         code_freq = sig.chip_rate_hz * (
             1.0 + dopplers[k] / sig.carrier_freq_hz)
@@ -642,11 +679,36 @@ def build_replica_tables(cfg, sig: SignalDef, params: TrackParams,
         ctabs[k] = sample_code_any(elems, sig.code_length_chips,
                                    code_freq, cfg.sampling_freq, length,
                                    phase0)
-        if params.has_pilot:
-            pel = pfn(int(ch[0]))
+        if params.has_pilot2:
+            for b, pfn in enumerate((sig.pilot_code, sig.pilot_code_wb)):
+                ptabs[k, b] = sample_code_any(
+                    pfn(int(ch[0])), sig.code_length_chips, code_freq,
+                    cfg.sampling_freq, plength, phase0)
+        elif params.has_pilot:
+            pel = sig.pilot_code(int(ch[0]))
             ptabs[k] = sample_code_any(pel, sig.code_length_chips * mod,
                                        code_freq, cfg.sampling_freq,
                                        plength, phase0)
+    return ctabs, ptabs
+
+
+def build_element_tables(cfg, sig: SignalDef, params: TrackParams,
+                         channels: Sequence) -> tuple:
+    """Chip-grid element tables for the slow gather path.
+
+    Dual-bank WB pilots are concatenated along the element axis
+    (bank 2 indexed at offset code_len*pilot_epc, _epoch_one_channel)."""
+    fdma = sig.fdma
+    ctabs = np.stack([sig.data_code(0 if fdma else int(ch[0]))
+                      for ch in channels])
+    if not params.has_pilot:
+        return ctabs, np.zeros_like(ctabs)
+    if params.has_pilot2:
+        ptabs = np.stack([np.concatenate([sig.pilot_code(int(ch[0])),
+                                          sig.pilot_code_wb(int(ch[0]))])
+                          for ch in channels])
+    else:
+        ptabs = np.stack([sig.pilot_code(int(ch[0])) for ch in channels])
     return ctabs, ptabs
 
 
@@ -690,15 +752,26 @@ def make_track_params(cfg, sig: SignalDef) -> TrackParams:
     dll_wd, dll_wp = wd, wp
     pilot_epc = 0
     dll_scale = 1.0
+    has_pilot2 = False
+    pilot2_epc = 0
+    pilot_w1, pilot_w2 = 1.0, 0.0
+    wb_rot = None
     if cfg.pilot_trk_flag == 2 and sig.pilot_code_wb is not None:
-        # WB QMBOC mode (WB_tracking.m): pilot replica is BOC(6,1); PLL
-        # 1/4+3/4, DLL factor/(1-factor) with (1-spacing) scaling
+        # WB QMBOC mode (WB_tracking.m): DUAL pilot bank — BOC(1,1) and
+        # BOC(6,1) tracked simultaneously and combined into the composite
+        # -sqrt(4/33)·p61 - j·sqrt(29/33)·p11 (WB_tracking.m:364-369);
+        # PLL 1/4+3/4, DLL factor/(1-factor) with (1-spacing) scaling
         from .qmboc import calc_weighing_factor
         factor = calc_weighing_factor(sig.chip_rate_hz, cfg.front_end_bw)
         wd, wp = 0.25, 0.75
         dll_wd, dll_wp = factor, 1.0 - factor
-        pilot_epc = sig.pilot_wb_elements_per_chip
         dll_scale = 1.0 - cfg.dll_correlator_spacing
+        has_pilot2 = True
+        pilot2_epc = sig.pilot_wb_elements_per_chip
+        pilot_w1, pilot_w2 = np.sqrt(29.0 / 33.0), np.sqrt(4.0 / 33.0)
+        # rotations put both banks' sums on +I: the +Q BOC(1,1) pilot
+        # turns by -j (rot 3), the -I BOC(6,1) by -1 (rot 2)
+        wb_rot = 3
     # fast sliced-replica path needs >= 1 sample of correlator spacing
     k_nominal = cfg.dll_correlator_spacing * cfg.sampling_freq \
         / sig.chip_rate_hz
@@ -716,11 +789,14 @@ def make_track_params(cfg, sig: SignalDef) -> TrackParams:
     has_pilot = cfg.pilot_trk_flag > 0 and sig.pilot_code is not None
     return TrackParams(
         fast_code=fast, k_spacing=max(int(round(k_nominal)), 1),
-        use_pallas=bool(use_pallas and fast),
-        pilot_rot=(sig.pilot_wb_rot
-                   if cfg.pilot_trk_flag == 2
-                   and sig.pilot_code_wb is not None
+        # the fused Pallas bank handles one pilot table; the dual-bank
+        # WB composite runs on the XLA path
+        use_pallas=bool(use_pallas and fast and not has_pilot2),
+        pilot_rot=(wb_rot if wb_rot is not None
                    else (0 if sig.pilot_in_phase else 1)),
+        has_pilot2=has_pilot2, pilot2_rot=(4 - sig.pilot_wb_rot) % 4,
+        pilot2_epc=pilot2_epc, pilot_w1=float(pilot_w1),
+        pilot_w2=float(pilot_w2),
         pilot_period_mod=(sig.pilot_phase_hypotheses
                           if has_pilot and sig.pilot_phase_hypotheses > 1
                           else 0),
@@ -769,16 +845,7 @@ def track(cfg, sig: SignalDef, samples_iq: np.ndarray,
         ctabs, ptabs = build_replica_tables(cfg, sig, params, channels,
                                             dopplers0)
     else:
-        ctabs = np.stack([
-            (sig.data_code(0 if fdma else int(ch[0])))
-            for ch in channels])
-        if params.has_pilot:
-            pfn = sig.pilot_code_wb if (cfg.pilot_trk_flag == 2 and
-                                        sig.pilot_code_wb is not None) \
-                else sig.pilot_code
-            ptabs = np.stack([pfn(int(ch[0])) for ch in channels])
-        else:
-            ptabs = np.zeros_like(ctabs)
+        ctabs, ptabs = build_element_tables(cfg, sig, params, channels)
     ctabs_d = jnp.asarray(ctabs)
     ptabs_d = jnp.asarray(ptabs)
 
@@ -808,7 +875,7 @@ def track(cfg, sig: SignalDef, samples_iq: np.ndarray,
         if cfg.lock_detect and cur >= vsm:
             # lock gate between superblocks: PLL NBD/NBP detector
             # (Calc_CNo_PLD.m) plus a RELATIVE prompt-power gate against
-            # the channel's own first-superblock baseline (the
+            # the channel's own running-max power baseline (the
             # rectified-I detector saturates near 1 on pure noise, so a
             # signal blackout only shows in the power).  A channel
             # failing either gate for 2 consecutive superblocks is
@@ -818,8 +885,13 @@ def track(cfg, sig: SignalDef, samples_iq: np.ndarray,
             act = np.asarray(state.active)
             pwr = (out_np.i_p.astype(np.float64) ** 2
                    + out_np.q_p.astype(np.float64) ** 2).mean(axis=0)
+            # baseline = running max of per-superblock prompt power, so
+            # a slow pull-in (first superblock still converging) cannot
+            # understate it; a blackout then always shows as a drop
             if base_pwr is None:
                 base_pwr = pwr.copy()
+            else:
+                base_pwr = np.maximum(base_pwr, pwr)
             drop_ratio = 10.0 ** (-cfg.lock_power_drop_db / 10.0)
             for c in range(len(channels)):
                 if not act[c]:

@@ -138,7 +138,11 @@ def test_cli_run_and_resume(scene, tmp_path):
     r = subprocess.run(base, capture_output=True, text=True, timeout=900)
     assert r.returncode in (0, 1), r.stderr[-2000:]
     if r.returncode == 1:
-        pytest.skip("CLI exited before tracking: " + r.stdout[-500:])
+        # rc=1 is legitimate ONLY for the no-detection early exit
+        # (postProcessing.m:108-117) — anything else is a crash
+        assert "no signals detected" in r.stdout, \
+            r.stdout[-500:] + r.stderr[-2000:]
+        pytest.skip("CLI: no signals detected in synthetic scene")
     assert (out / "acqResults.npz").exists()
     assert (out / "trkResults.npz").exists()
     assert "tracking" in r.stdout
@@ -148,3 +152,32 @@ def test_cli_run_and_resume(scene, tmp_path):
                         capture_output=True, text=True, timeout=900)
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "acquisition reused" in r2.stdout
+
+
+def test_show_channel_status_on_best_channels(scene):
+    """best_channels() returns 4-tuples (prn, freq, phase, pilot_phase);
+    the status table must render them (showChannelStatus.m:37-43)."""
+    from cusdr_tpu.plotting import show_channel_status
+    cfg, sig, sv, samples = scene
+    acq = acquire(cfg, sig, samples)
+    chans = acq.best_channels(4)
+    assert chans and len(chans[0]) == 4
+    table = show_channel_status(chans, acq, cfg)
+    assert f"| {PRN:3d} |" in table
+
+
+def test_fine_stage_clamps_to_short_record():
+    """A record shorter than fine_n_codes+1 periods degrades the fine
+    resolution with a warning instead of crashing (the gal_e5a preset
+    asks for 100 coherent periods, GAL_E5a/include/acquisition.m:145)."""
+    cfg = get_config("gps_l1ca", sampling_freq=2.048e6, if_freq=7000.0,
+                     acq_satellite_list=(PRN,), acq_threshold=2.5,
+                     fine_n_codes=100)
+    sig = get_signal("gps_l1ca")
+    sv = SynthSV(prn=PRN, code_phase=321.0, doppler_hz=-900.0,
+                 cn0_dbhz=50)
+    samples = synthesize_if(cfg, sig, [sv], num_ms=40, seed=13)
+    with pytest.warns(UserWarning, match="fine stage clamped"):
+        acq = acquire(cfg, sig, samples)
+    assert acq.detected[0]
+    assert abs(acq.carr_freq[0] - (7000.0 - 900.0)) < 250.0

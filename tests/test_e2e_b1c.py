@@ -106,9 +106,10 @@ def wb_chain():
     """WB (QMBOC) chain: the BOC(6,1) pilot mainlobes sit at ±6.14 MHz,
     so the wideband mode needs a wide front end (reference FEBW=27 MHz,
     initSettings.m:59) — fs here is 16×1.023 MHz, which also puts the
-    0.06-chip correlator spacing on the fast sliced-replica path.  Pilot
-    correlators run on the BOC(6,1) component at its ICD phase (−I) with
-    RMS-bandwidth DLL weighting (WB_tracking.m:176-188,292-315).
+    0.06-chip correlator spacing on the fast sliced-replica path.  The
+    dual pilot bank tracks BOC(1,1) (+Q) and BOC(6,1) (−I) simultaneously
+    and combines them into the composite QMBOC pilot with RMS-bandwidth
+    DLL weighting (WB_tracking.m:176-188,292-369).
     Channels are truth-initialized (acquisition is covered by the NB
     chain) with a deliberate 5 Hz carrier error to exercise pull-in."""
     fs_wb = 16.368e6
@@ -129,9 +130,10 @@ def wb_chain():
 
 
 def test_wb_tracking_boc61_pilot_lock(wb_chain):
-    """The BOC(6,1) pilot correlators must be coherently locked: the
-    4/44-power wideband component concentrates on the rotated in-phase
-    axis and carries the 1800-chip secondary like the BOC(1,1) pilot."""
+    """The composite QMBOC pilot must be coherently locked: both pilot
+    banks — BOC(1,1) at 29/44 power (+Q) and BOC(6,1) at 4/44 power (−I)
+    — rotate onto the in-phase axis and combine per WB_tracking.m:364-369,
+    carrying the 1800-chip secondary."""
     cfgw, sig, trkw = wb_chain
     pip = np.abs(trkw.pilot_ip[0, -800:]).mean()
     pqp = np.abs(trkw.pilot_qp[0, -800:]).mean()
@@ -139,8 +141,8 @@ def test_wb_tracking_boc61_pilot_lock(wb_chain):
     qp = np.abs(trkw.q_p[0, -800:]).mean()
     assert ip > 3 * qp
     assert pip > 2.5 * pqp
-    # BOC(6,1) pilot holds 4/11 of the data power
-    assert 0.3 < pip / ip < 1.2, pip / ip
+    # composite pilot power 33/44 vs data 11/44 => amplitude ratio sqrt(3)
+    assert 1.3 < pip / ip < 2.2, pip / ip
 
 
 def test_wb_bcnav1_decode_through_pipeline(wb_chain):

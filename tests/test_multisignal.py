@@ -170,26 +170,31 @@ def test_tracking_locks(scene):
 
 
 def test_b1c_wideband_qmboc_tracking():
-    """WB (pilotTRKflag=2) mode: BOC(6,1) pilot replica + QMBOC weighting
-    (WB_tracking.m, CalcWeighingFactor.m) locks carrier and code."""
-    from dataclasses import replace
-    from cusdr_tpu.signals.codes import beidou
+    """WB (pilotTRKflag=2) mode: dual BOC(1,1)+BOC(6,1) pilot bank with
+    the reference's composite combine -sqrt(4/33)*p61 - j*sqrt(29/33)*p11
+    and QMBOC DLL weighting (WB_tracking.m:292-369, CalcWeighingFactor.m)
+    locks carrier and code on a full-QMBOC synthesized signal."""
     from cusdr_tpu.tracking.qmboc import calc_weighing_factor
 
     factor = calc_weighing_factor(1.023e6, 27e6)
     assert 0.05 < factor < 0.5    # data weight minority (BOC61 sharper)
 
     sig = get_signal("bds_b1c")
-    sig_syn = replace(sig, pilot_code=beidou.b1c_pilot_boc61)
     cfg = get_config("bds_b1c", sampling_freq=16.384e6, if_freq=7000.0,
                      pilot_trk_flag=2)
     rng = np.random.default_rng(1)
     sv = SynthSV(prn=19, code_phase=977.0, doppler_hz=300.0, cn0_dbhz=50,
                  nav_bits=rng.choice(np.asarray([-1, 1], np.int8), 100))
-    iq = quantize_iq_int8(synthesize_if(cfg, sig_syn, [sv], num_ms=450,
+    iq = quantize_iq_int8(synthesize_if(cfg, sig, [sv], num_ms=450,
                                         seed=4))
     res = track(cfg, sig, iq, [(19, 7300.0, 977)], n_epochs=40)
     ip = np.abs(res.i_p[0, -15:]).mean()
     qp = np.abs(res.q_p[0, -15:]).mean()
     assert ip > 3 * qp
+    # composite pilot carries 33/44 of total power vs the data's 11/44,
+    # so |pilot prompt| / |data prompt| ~ sqrt(3)
+    pip = np.abs(res.pilot_ip[0, -15:]).mean()
+    pqp = np.abs(res.pilot_qp[0, -15:]).mean()
+    assert pip > 3 * pqp
+    assert 1.3 < pip / ip < 2.2
     assert abs(res.carr_freq[0, -10:].mean() - 7300.0) < 10.0
