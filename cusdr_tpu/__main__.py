@@ -19,6 +19,22 @@ from pathlib import Path
 import numpy as np
 
 
+def _apply_platform(platform=None):
+    """Force the JAX platform BEFORE any kernel code imports.
+
+    The environment may pre-register a TPU PJRT plugin that ignores the
+    JAX_PLATFORMS environment variable (it force-registers itself), so a
+    bare env override silently still runs on the device.  Calling
+    jax.config.update is what actually wins; honor --platform first,
+    then JAX_PLATFORMS.
+    """
+    import os
+    plat = platform or os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+
 def _add_common(p):
     p.add_argument("--signal", default="gps_l1ca",
                    help="signal key (see `signals` command)")
@@ -31,6 +47,14 @@ def _add_common(p):
                                   "search list (setSettings.m:191-196)")
     p.add_argument("--acq-threshold", type=float,
                    help="override acquisition threshold")
+    p.add_argument("--file-type", type=int, choices=(1, 2),
+                   help="1 = real samples, 2 = interleaved I/Q "
+                        "(initSettings.m:62-65)")
+    p.add_argument("--data-type", choices=("schar", "int16"),
+                   help="sample scalar type (initSettings.m:61)")
+    p.add_argument("--platform", default=None,
+                   help="force the JAX platform (cpu/tpu); default = "
+                        "JAX_PLATFORMS env, else the registered backend")
 
 
 def main(argv=None):
@@ -52,10 +76,31 @@ def main(argv=None):
                         "tracking stage into this directory")
     p.add_argument("--timing", action="store_true",
                    help="print the per-stage timing table at the end")
+    p.add_argument("--time-blocks", type=int, default=None,
+                   help="track this many concurrent time blocks "
+                        "(sequence-parallel axis; 0/1 = sequential)")
+    p.add_argument("--handoff-iters", type=int, default=None,
+                   help="time-parallel ring state-handoff rounds")
+    p.add_argument("--pilot-trk-flag", type=int, choices=(0, 1, 2),
+                   default=None,
+                   help="0 = data only, 1 = data+pilot (B1C: NB), "
+                        "2 = B1C wideband QMBOC")
+    p.add_argument("--lock-detect", dest="lock_detect",
+                   action="store_true", default=None,
+                   help="drop channels on PLL loss of lock "
+                        "(tracking.m:241-245 lifecycle; default on)")
+    p.add_argument("--no-lock-detect", dest="lock_detect",
+                   action="store_false")
+    p.add_argument("--use-pallas", dest="use_pallas",
+                   action="store_true", default=None,
+                   help="force the fused Pallas correlator bank "
+                        "(default: auto on TPU)")
+    p.add_argument("--no-pallas", dest="use_pallas", action="store_false")
 
     sub.add_parser("signals", help="list registered signals")
 
     args = ap.parse_args(argv)
+    _apply_platform(getattr(args, "platform", None))
 
     if args.cmd == "signals":
         from .config import PRESETS
@@ -79,6 +124,15 @@ def main(argv=None):
             int(x) for x in args.prns.split(","))
     if args.acq_threshold is not None:
         over["acq_threshold"] = args.acq_threshold
+    if args.file_type is not None:
+        over["file_type"] = args.file_type
+    if args.data_type is not None:
+        over["data_type"] = args.data_type
+    for name in ("time_blocks", "handoff_iters", "pilot_trk_flag",
+                 "lock_detect", "use_pallas"):
+        v = getattr(args, name, None)
+        if v is not None:
+            over[name] = v
     over["skip_number_of_bytes"] = args.skip_bytes
     over["file_name"] = args.file
     cfg = get_config(args.signal, **over)
@@ -143,7 +197,18 @@ def main(argv=None):
         if cfg.ms_to_process else None
     with device_trace(args.profile), \
             timer.stage("tracking", samples=len(samples) // 2):
-        trk = track(cfg, sig, samples, channels, n_epochs=n_epochs)
+        if cfg.time_blocks > 1:
+            from .parallel.timeblocks import track_time_parallel
+            spc = cfg.samples_per_code
+            if n_epochs is None:
+                max_phase = max(ch[2] for ch in channels)
+                n_epochs = int((len(samples) // 2 - max_phase
+                                - 2 * spc) // spc)
+            n_epochs = (n_epochs // cfg.time_blocks) * cfg.time_blocks
+            trk = track_time_parallel(cfg, sig, samples, channels,
+                                      n_epochs, cfg.time_blocks)
+        else:
+            trk = track(cfg, sig, samples, channels, n_epochs=n_epochs)
     checkpoint.save_tracking(out / "trkResults.npz", trk)
     print(f"tracking done in {time.time() - t0:.1f}s -> "
           f"{out / 'trkResults.npz'}")

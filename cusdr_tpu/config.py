@@ -96,7 +96,11 @@ class ReceiverConfig:
                                         # 'exact' = pole-placement digital design
                                         # (loop_filters.calc_loop_coef_exact),
                                         # stable at any BL*T, identical as T->0
-    lock_detect: bool = False           # drop channels on PLL loss of lock
+    lock_detect: bool = True            # drop channels on PLL loss of lock
+                                        # (on by default — the reference's
+                                        # channel lifecycle / out-of-data
+                                        # exit is unconditional,
+                                        # tracking.m:241-245)
     lock_threshold: float = 0.3         # NBD/NBP gate (Calc_CNo_PLD.m:65-73)
     lock_power_drop_db: float = 10.0    # prompt-power drop vs the channel's
                                         # own first-superblock baseline that
@@ -247,7 +251,8 @@ def gal_e5a() -> ReceiverConfig:
 
 
 def gal_e5b() -> ReceiverConfig:
-    """GAL/GAL_E5b/initSettings.m: like E5a; 60 Hz acq step, PLL 25 Hz."""
+    """GAL/GAL_E5b/initSettings.m: like E5a; 60 Hz acq step, PLL 25 Hz
+    3rd order (calcLoopCoefCarr.m option)."""
     return ReceiverConfig(
         signal="gal_e5b", sampling_freq=18e6, if_freq=20e3,
         code_freq_basis=10.23e6, code_length=10_230, num_channels=12,
@@ -255,7 +260,8 @@ def gal_e5b() -> ReceiverConfig:
         acq_search_band=5000.0, acq_non_coh_time=15, acq_threshold=4.5,
         acq_search_step=60.0,
         dll_noise_bandwidth=1.5, dll_correlator_spacing=0.5,
-        pll_noise_bandwidth=25.0, int_time=0.001, pilot_trk_flag=1,
+        pll_noise_bandwidth=25.0, int_time=0.001, pll_order=3,
+        pilot_trk_flag=1,
     )
 
 

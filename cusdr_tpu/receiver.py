@@ -186,9 +186,15 @@ def nav_solve(cfg, sig, track_res) -> Optional[NavSolutions]:
         if len(chans) < 4:
             continue
         if settle and epb:
-            idx = int(np.searchsorted(track_res.abs_sample[chans[0]],
-                                      meas_sample, side="right")) - 1
-            if idx % epb < settle:
+            # per-channel epoch grids: block boundaries differ across
+            # channels by up to a code period, so each channel is tested
+            # against ITS OWN abs_sample grid; channels inside a block's
+            # re-convergence transient drop out of this epoch only
+            chans = [ch for ch in chans
+                     if (int(np.searchsorted(track_res.abs_sample[ch],
+                                             meas_sample, side="right"))
+                         - 1) % epb >= settle]
+            if len(chans) < 4:
                 continue
         tx = transmit_times(track_res, chans, sub_start, tow,
                             meas_sample, cfg, sig)
