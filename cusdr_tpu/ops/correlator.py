@@ -53,16 +53,31 @@ def _build_call(blk_pad: int, wlen: int, k: int, has_pilot: bool,
         cb = si_r.shape[0]
         si = si_r[:].astype(jnp.float32)
         sq = sq_r[:].astype(jnp.float32)
-        # split-index phase ramp (engine._epoch_one_channel): n = 256*hi+lo
-        # keeps the f32 products small enough for ~1e-5-cycle phase error
+        # Factorized carrier synthesis: with n = 128*t + l,
+        #   e^{-j2π(remc + inc·n)} = u[t] · v[l],
+        #   u[t] = e^{j2π(remc + frac(128·inc)·t)},  v[l] = e^{j2π·frac(inc)·l}
+        # so the transcendentals drop from blk_pad evaluations per row to
+        # T + 128 (~67x fewer — sin/cos dominated the original kernel),
+        # and each sample costs one 6-op complex multiply instead.
+        # Phase error stays ~1e-5 cycles: each factor's f32 phase product
+        # is bounded by ~141 cycles before the mod-1 reduction.
+        T = blk_pad // 128
+        t_f = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1).astype(
+            jnp.float32)
+        l_f = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(
+            jnp.float32)
+        pu = remc_r[:] + shi_r[:] * t_f            # (cb, T) cycles
+        pu = (pu - jnp.floor(pu)) * _TWO_PI
+        pv = slo_r[:] * l_f                        # (cb, 128) cycles
+        pv = (pv - jnp.floor(pv)) * _TWO_PI
+        ur = jnp.cos(pu).reshape(cb, T, 1)
+        ui = jnp.sin(pu).reshape(cb, T, 1)
+        vr = jnp.cos(pv).reshape(cb, 1, 128)
+        vi = jnp.sin(pv).reshape(cb, 1, 128)
+        cosw = (ur * vr - ui * vi).reshape(cb, blk_pad)
+        sinw = (ur * vi + ui * vr).reshape(cb, blk_pad)
         n_f = jax.lax.broadcasted_iota(jnp.int32, (1, blk_pad),
                                        1).astype(jnp.float32)
-        n_hi = jnp.floor(n_f * jnp.float32(1.0 / 256.0))
-        n_lo = n_f - jnp.float32(256.0) * n_hi
-        cyc = remc_r[:] + shi_r[:] * n_hi + slo_r[:] * n_lo
-        ph = (cyc - jnp.floor(cyc)) * _TWO_PI
-        cosw = jnp.cos(ph)
-        sinw = jnp.sin(ph)
         mask = (n_f < bsz_r[:]).astype(jnp.float32)
         bb_i = (si * cosw + sq * sinw) * mask
         bb_q = (sq * cosw - si * sinw) * mask
@@ -146,8 +161,9 @@ def correlate_bank(alpha, remc, shi, slo, bsz, si, sq, wt, wp=None,
     """Correlator sums for a channel bank.
 
     alpha/remc/shi/slo/bsz: [C, 1] f32 per-channel scalars — replica
-      interpolation fraction, carrier phase (cycles), 256·step and step
-      (cycles/sample, mod 1), valid-sample count
+      interpolation fraction, carrier phase (cycles), 128·step and step
+      (cycles/sample, each mod 1 — the factorized-exponential split),
+      valid-sample count
     si/sq: [C, blk_pad] int8 sample windows (blk_pad % 128 == 0)
     wt/wp: [C, wlen] int8 replica windows (wlen % 128 == 0, covering
       blk_pad + 2k + 1 from tap -k)

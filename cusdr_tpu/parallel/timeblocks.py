@@ -45,6 +45,43 @@ from ..tracking.engine import (ChannelState, TrackParams,
                                TrackOutputs)
 
 
+def _is_multiprocess(mesh) -> bool:
+    return any(d.process_index != jax.process_index()
+               for d in mesh.devices.flat)
+
+
+def _put(x, mesh, spec):
+    """device_put for single-process meshes; global-array construction
+    when the mesh spans processes (each process feeds its own shards)."""
+    from jax.sharding import NamedSharding
+    sh = NamedSharding(mesh, spec)
+    if _is_multiprocess(mesh):
+        xn = np.asarray(x)
+        return jax.make_array_from_callback(xn.shape, sh,
+                                            lambda idx: xn[idx])
+    return jax.device_put(x, sh)
+
+
+def _fetch(x, mesh):
+    """Device array -> host numpy; allgathers across processes so every
+    host stitches the same full result."""
+    if mesh is not None and _is_multiprocess(mesh):
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
+@jax.jit
+def _ring_shift(states0, final):
+    """Block k+1 restarts from block k's final state; block 0 keeps the
+    true initial state.  Jitted so it runs as one SPMD program on sharded
+    (possibly multi-process) 'tb' axes — a collective-permute over
+    ICI/DCN when sharded."""
+    return jax.tree.map(
+        lambda i0, fin: jnp.concatenate([i0[:1], fin[:-1]], axis=0),
+        states0, final)
+
+
 @functools.partial(jax.jit, static_argnames=("params", "n_epochs"))
 def _track_blocks(samples_blocks, block_starts, block_ends, code_tables,
                   pilot_tables, states: ChannelState,
@@ -166,30 +203,32 @@ def track_time_parallel(cfg, sig: SignalDef, samples_iq: np.ndarray,
     starts_d = jnp.asarray(sb_start)
     ends_d = jnp.asarray(sb_end)
     states = states0
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        sh = NamedSharding(mesh, P("tb"))
-        sb_d = jax.device_put(sb_d, NamedSharding(mesh, P("tb", None)))
-        starts_d = jax.device_put(starts_d, sh)
-        ends_d = jax.device_put(ends_d, sh)
-        put = lambda x: jax.device_put(x, NamedSharding(
-            mesh, P(*(("tb",) + (None,) * (x.ndim - 1)))))
-        states = jax.tree.map(put, states)
-        states0 = states
-
     ct_d, pt_d = jnp.asarray(ctabs), jnp.asarray(ptabs)
+    if mesh is not None:
+        # mesh axes: 'tb' shards the block axis; an optional 'ch' axis
+        # (2-D mesh, possibly spanning hosts) additionally shards the
+        # channel axis of the state/table leaves
+        from jax.sharding import PartitionSpec as P
+        ch_ax = "ch" if "ch" in mesh.axis_names else None
+        sb_d = _put(sb_d, mesh, P("tb", None))
+        starts_d = _put(starts_d, mesh, P("tb"))
+        ends_d = _put(ends_d, mesh, P("tb"))
+        states = jax.tree.map(
+            lambda x: _put(x, mesh, P(*(("tb", ch_ax)
+                                        + (None,) * (x.ndim - 2)))),
+            states)
+        states0 = states
+        ct_d = _put(ct_d, mesh,
+                    P(*((ch_ax,) + (None,) * (ct_d.ndim - 1))))
+        pt_d = _put(pt_d, mesh,
+                    P(*((ch_ax,) + (None,) * (pt_d.ndim - 1))))
+
     outs = None
     for it in range(handoff_iters + 1):
         final, outs = _track_blocks(sb_d, starts_d, ends_d, ct_d, pt_d,
                                     states, params, epochs_per_block)
         if it < handoff_iters:
-            # ring handoff: block k+1 restarts from block k's final
-            # state; block 0 keeps the true initial state.  On a sharded
-            # 'tb' axis this shift is a collective-permute over ICI.
-            states = jax.tree.map(
-                lambda i0, fin: jnp.concatenate([i0[:1], fin[:-1]],
-                                                axis=0),
-                states0, final)
+            states = _ring_shift(states0, final)
 
     # ---- Costas 180° sign resolution across block boundaries --------------
     # A block's lock sign is ambiguous: it ran from an open-loop predicted
@@ -205,11 +244,11 @@ def track_time_parallel(cfg, sig: SignalDef, samples_iq: np.ndarray,
     # (true) sign.
     if n_blocks > 1:
         fs = cfg.sampling_freq
-        fin_phi = np.asarray(final.rem_carr_phase)    # [B, C] rad
-        fin_s = np.asarray(final.abs_sample).astype(np.float64)
-        fin_f = np.asarray(final.carr_freq)
-        st_phi = np.asarray(states.rem_carr_phase)
-        st_s = np.asarray(states.abs_sample).astype(np.float64)
+        fin_phi = _fetch(final.rem_carr_phase, mesh)    # [B, C] rad
+        fin_s = _fetch(final.abs_sample, mesh).astype(np.float64)
+        fin_f = _fetch(final.carr_freq, mesh)
+        st_phi = _fetch(states.rem_carr_phase, mesh)
+        st_s = _fetch(states.abs_sample, mesh).astype(np.float64)
         dphi = (fin_phi[:-1] - st_phi[1:]
                 + 2.0 * np.pi * fin_f[:-1] * (st_s[1:] - fin_s[:-1]) / fs)
         rel = np.where(np.cos(dphi) < 0.0, -1.0, 1.0)      # [B-1, C]
@@ -223,7 +262,7 @@ def track_time_parallel(cfg, sig: SignalDef, samples_iq: np.ndarray,
     # outs leaves: [B, epochs_per_block, C] -> [C, B*epochs_per_block]
     merged = {}
     for name in TrackOutputs._fields:
-        v = np.asarray(getattr(outs, name))
+        v = _fetch(getattr(outs, name), mesh)
         if signs is not None and name in _SIGNED:
             v = v * signs[:, None, :]
         merged[name] = np.concatenate(list(v), axis=0).T

@@ -527,7 +527,9 @@ def _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start, end_sample,
 
     inc = _TWO_PI * st.carr_freq / p.fs            # f64 [C]
     inc_c = st.carr_freq / p.fs
-    shi = jnp.mod(inc_c * 256.0, 1.0).astype(jnp.float32)
+    # the kernel factorizes the carrier as u[t]·v[l] with n = 128t + l:
+    # shi is the u-factor's per-t step, slo the v-factor's per-l step
+    shi = jnp.mod(inc_c * 128.0, 1.0).astype(jnp.float32)
     slo = jnp.mod(inc_c, 1.0).astype(jnp.float32)
     remc = jnp.mod(st.rem_carr_phase / _TWO_PI, 1.0).astype(jnp.float32)
 

@@ -9,6 +9,11 @@ forces CPU here.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Subprocesses spawned by tests must NOT touch the TPU plugin at all:
+# its sitecustomize registration is gated on this variable, and
+# concurrent registrations from short-lived test subprocesses can wedge
+# the device tunnel for the whole machine.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -97,7 +97,7 @@ def main():
             samples_i, (o + 1,), (blk_pad,)))(offs)
         out = correlate_bank(alpha, remc, shi, slo, bsz,
                              si2, sq2, wt, None, k=k)
-        offs = (offs + out[:, :1].astype(jnp.int32) % 3) \
+        offs = (offs + out[:, 0].astype(jnp.int32) % 3) \
             % (n_samples - blk_pad)
         return offs, alpha
 
