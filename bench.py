@@ -67,7 +67,7 @@ def main():
     # before the device work completes; synchronize by fetching the small
     # outputs to host (adds one ~25 ms round-trip, measured separately).
     def run_acq():
-        peak, b, ph, second = _pcps_cdma_kernel(
+        peak, b, ph, second, floor = _pcps_cdma_kernel(
             *args, n_noncoh=noncoh, n_comp=1, search_len=search_len)
         return np.asarray(peak)
 
@@ -108,25 +108,36 @@ def main():
 
     # ---------------- time-parallel tracking workload ---------------------
     # The sequence-parallel axis (parallel/timeblocks.py) also pays off
-    # INTRA-chip: B concurrent blocks fill the VPU/MXU far better than one
-    # serial scan.  Same total epochs, 8 blocks.
-    from cusdr_tpu.parallel.timeblocks import _track_blocks
+    # INTRA-chip: B concurrent blocks fill the VPU far better than one
+    # serial scan.  Same total epochs, 40 blocks, run as one flat
+    # 40x12-row channel bank over the full record (in-kernel HBM fetch)
+    # when the Pallas path is on, else per-block buffers.
     n_blocks = 40
     epb = n_epochs // n_blocks
-    blk_len = (epb + 4) * spc
     starts_np = np.arange(n_blocks, dtype=np.int64) * (epb * spc)
-    sbs = np.stack([samples[2 * s:2 * (s + blk_len)]
-                    for s in starts_np])
     starts = jnp.asarray(starts_np)
-    ends = jnp.asarray(starts_np + blk_len)
     st_b = jax.tree.map(lambda x: jnp.stack([x] * n_blocks), state)
     st_b = st_b._replace(abs_sample=st_b.abs_sample + starts[:, None])
-    sbs_d = jnp.asarray(sbs)
 
-    def run_track_tp():
-        st, outs = _track_blocks(sbs_d, starts, ends, ctabs, ptabs, st_b,
-                                 params, epb)
-        return np.asarray(st.carr_freq)
+    if params.use_pallas and params.fetch_in_kernel:
+        from cusdr_tpu.parallel.timeblocks import _track_blocks_flat
+
+        def run_track_tp():
+            st, outs = _track_blocks_flat(samples_d, ctabs, ptabs, st_b,
+                                          params, epb, n_blocks)
+            return np.asarray(st.carr_freq)
+    else:
+        from cusdr_tpu.parallel.timeblocks import _track_blocks
+        blk_len = (epb + 4) * spc
+        sbs = np.stack([samples[2 * s:2 * (s + blk_len)]
+                        for s in starts_np])
+        ends = jnp.asarray(starts_np + blk_len)
+        sbs_d = jnp.asarray(sbs)
+
+        def run_track_tp():
+            st, outs = _track_blocks(sbs_d, starts, ends, ctabs, ptabs,
+                                     st_b, params, epb)
+            return np.asarray(st.carr_freq)
 
     run_track_tp()                     # compile
     t0 = time.perf_counter()

@@ -118,10 +118,13 @@ def _corr_peak(mf, cfftc, weights, n_comp, search_len=None,
     The FFT length is padded to a power of two; only the first
     ``search_len`` lags (= 2 code periods, the reference's search span,
     acquisition.m:160-162) are scanned for the peak.
-    Returns (peak, bin, phase, second_peak) where second_peak is the
-    largest value in the peak's Doppler row outside ±excl_samples of the
-    peak (the L2C/B1I second-peak-ratio metric,
-    GPS_L2C/include/acquisition.m:90-112).
+    Returns (peak, bin, phase, second_peak, floor) where second_peak is
+    the largest value in the peak's Doppler row outside ±excl_samples of
+    the peak (the L2C/B1I second-peak-ratio metric,
+    GPS_L2C/include/acquisition.m:90-112) and floor is the measured mean
+    of the whole weighted envelope surface — the noise-floor reference
+    for the calibrated GLRT metric (the peak occupies a negligible
+    fraction of the bins x lags points, so the mean is noise-dominated).
     """
     mfr, mfi = mf
     cfr, cfi = cfftc
@@ -140,7 +143,7 @@ def _corr_peak(mf, cfftc, weights, n_comp, search_len=None,
     peak_phase = k % search
     spc = period if period is not None else search // 2
     second = _second_peak(acc[peak_bin], peak_phase, spc, excl_samples)
-    return flat[k], peak_bin, peak_phase, second
+    return flat[k], peak_bin, peak_phase, second, jnp.mean(flat)
 
 
 @functools.partial(jax.jit,
@@ -155,7 +158,7 @@ def _pcps_cdma_kernel(slabs, code_fft_conj, weights, f_grid, ts,
 
     slabs: pair of [n_noncoh, nfft]; code_fft_conj: pair of
     [n_prn, n_comp, nfft]; f_grid [n_bins].
-    Returns (peak, bin, phase) each [n_prn].
+    Returns (peak, bin, phase, second, floor) each [n_prn].
     """
     mf = _mixed_fft(slabs[0], slabs[1], f_grid, ts)
 
@@ -214,7 +217,7 @@ def _pcps_circshift_kernel(slabs, code_fft_conj, weights, sub_offsets, ts,
     Hypothesis (m, j) ≡ carrier  sub_offsets[j] − m·fs/nfft  (spectrum
     content at −m bins is brought to DC by circshift(+m),
     acquisition.m:71-84,119).
-    Returns (peak, shift_idx, sub_idx, phase, second) each [n_prn].
+    Returns (peak, shift_idx, sub_idx, phase, second, floor) each [n_prn].
     """
     mfr, mfi = _mixed_fft(slabs[0], slabs[1], sub_offsets, ts)
     n_sub = mfr.shape[0]
@@ -237,7 +240,7 @@ def _pcps_circshift_kernel(slabs, code_fft_conj, weights, sub_offsets, ts,
         return acc
 
     def step(carry, m):
-        b_val, b_m, b_sub, b_ph, b_row = carry
+        b_val, b_m, b_sub, b_ph, b_row, b_floor = carry
         rr = jnp.roll(mfr, m, axis=-1)
         ri = jnp.roll(mfi, m, axis=-1)
         acc = rows(rr, ri)
@@ -252,18 +255,20 @@ def _pcps_circshift_kernel(slabs, code_fft_conj, weights, sub_offsets, ts,
                  jnp.where(imp, m, b_m),
                  jnp.where(imp, sub, b_sub),
                  jnp.where(imp, ph, b_ph),
-                 jnp.where(imp[:, None], row, b_row))
+                 jnp.where(imp[:, None], row, b_row),
+                 b_floor + flat.mean(axis=1))
         return carry, None
 
     init = (jnp.full(n_prn, -jnp.inf, jnp.float32),
             jnp.zeros(n_prn, jnp.int32), jnp.zeros(n_prn, jnp.int32),
             jnp.zeros(n_prn, jnp.int32),
-            jnp.zeros((n_prn, search_len), jnp.float32))
-    (val, m, sub, ph, row), _ = jax.lax.scan(
+            jnp.zeros((n_prn, search_len), jnp.float32),
+            jnp.zeros(n_prn, jnp.float32))
+    (val, m, sub, ph, row, floor), _ = jax.lax.scan(
         init=init, xs=jnp.arange(n_shift, dtype=jnp.int32), f=step)
     second = jax.vmap(lambda r, p: _second_peak(r, p, per, excl_samples)
                       )(row, ph)
-    return val, m, sub, ph, second
+    return val, m, sub, ph, second, floor / n_shift
 
 
 # --------------------------------------------------------------------------
@@ -450,7 +455,7 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
         offs = (prns * sig.fdma_spacing_hz).astype(np.float32)
         freqs = base[None, :] + offs[:, None]
         freqs = np.ascontiguousarray(freqs)
-        peak, bin_idx, phase_idx, second = _pcps_fdma_kernel(
+        peak, bin_idx, phase_idx, second, floor = _pcps_fdma_kernel(
             (jnp.asarray(slabs_r), jnp.asarray(slabs_i)),
             (jnp.asarray(cf_r[:1]), jnp.asarray(cf_i[:1])),
             jnp.asarray(weights), jnp.asarray(freqs), ts,
@@ -466,7 +471,8 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
         f_max = cfg.if_freq + band
         sub_offsets = (f_max - sub_step * np.arange(n_sub)
                        ).astype(np.float32)
-        peak, m_idx, sub_idx, phase_idx, second = _pcps_circshift_kernel(
+        (peak, m_idx, sub_idx, phase_idx, second,
+         floor) = _pcps_circshift_kernel(
             (jnp.asarray(slabs_r), jnp.asarray(slabs_i)),
             (jnp.asarray(cf_r), jnp.asarray(cf_i)),
             jnp.asarray(weights), jnp.asarray(sub_offsets), ts,
@@ -478,7 +484,7 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
         bin_idx = np.zeros(len(prns), np.int64)
     else:
         freqs = np.broadcast_to(base, (len(prns), n_bins))
-        peak, bin_idx, phase_idx, second = _pcps_cdma_kernel(
+        peak, bin_idx, phase_idx, second, floor = _pcps_cdma_kernel(
             (jnp.asarray(slabs_r), jnp.asarray(slabs_i)),
             (jnp.asarray(cf_r), jnp.asarray(cf_i)),
             jnp.asarray(weights), jnp.asarray(base), ts,
@@ -493,12 +499,21 @@ def acquire(cfg, sig: SignalDef, samples: np.ndarray,
         # peak / second-peak ratio (GPS_L2C/include/acquisition.m:90-112)
         metric = peak / np.maximum(second, 1e-12)
     else:
-        # GLRT statistic (acquisition.m:150-151,200)
-        sig_power = np.sqrt(np.var(np.asarray(samples[:spc_c])) * spc_c)
-        metric = peak / sig_power / noncoh
-        # weighted components change the envelope scale; normalize so the
-        # threshold stays comparable to the single-component GLRT
-        metric = metric / weights.sum()
+        # Noise-floor-referenced GLRT: the peak is normalized by the
+        # MEASURED mean of its own weighted envelope surface.  Under
+        # noise a single-component surface has mean
+        # sqrt(pi)/2 * sigma * sqrt(spc) * noncoh, so scaling by
+        # sqrt(pi)/2 makes this numerically match the reference's
+        # peak/sigma/noncoh statistic (acquisition.m:150-151,200) for
+        # one component — the preset thresholds keep their meaning —
+        # while weighted multi-component surfaces (GAL_E1C
+        # acquisition.m:195, BDS/B1C acquisition.m:213-214) are
+        # calibrated by construction: the floor already carries the
+        # component count, the weights and the integration depth, so
+        # the noise-only metric distribution is weight-invariant
+        # (pinned by tests/test_acq_false_alarm.py).
+        metric = (np.sqrt(np.pi) / 2.0) * peak \
+            / np.maximum(np.asarray(floor), 1e-12)
     detected = metric > cfg.acq_threshold
 
     if coarse_freq is None:

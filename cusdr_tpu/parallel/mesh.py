@@ -68,7 +68,7 @@ def pcps_sharded(slabs, code_fft_conj, weights, f_grid, ts, n_comp: int,
 
     slabs and code_fft_conj are (real, imag) float32 pairs;
     code_fft_conj pair arrays [n_prn, n_comp, nfft] sharded over axis 0;
-    slabs replicated.  Returns (peak, bin, phase) each [n_prn].
+    slabs replicated.  Returns (peak, bin, phase, second, floor) each [n_prn].
     """
     from ..acquisition.pcps import _corr_peak, _mixed_fft
     mf = _mixed_fft(slabs[0], slabs[1], f_grid, ts)

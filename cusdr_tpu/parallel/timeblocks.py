@@ -91,11 +91,45 @@ def _track_blocks(samples_blocks, block_starts, block_ends, code_tables,
     samples_blocks: [B, 2*S_blk] int8; block_starts/block_ends: [B] i64
     (absolute sample range of each block's buffer); states: leaves [B, C].
     """
+    import dataclasses
+    # vmapping a manual-DMA pallas kernel is unsupported; the vmapped
+    # block path stages windows in XLA (the flat path keeps the fast
+    # in-kernel fetch)
+    params = dataclasses.replace(params, fetch_in_kernel=False)
+
     def one(samples, start, end, st):
         return track_superblock(samples, start, code_tables, pilot_tables,
                                 st, params, n_epochs, end)
 
     return jax.vmap(one)(samples_blocks, block_starts, block_ends, states)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("params", "n_epochs", "n_blocks"))
+def _track_blocks_flat(samples_iq, code_tables, pilot_tables,
+                       states: ChannelState, params: TrackParams,
+                       n_epochs: int, n_blocks: int):
+    """Single-device fast path: the B concurrent blocks become ONE
+    B·C-row channel bank over the full record — abs_sample already
+    positions every block, the in-kernel HBM window fetch (ops/
+    correlator.correlate_bank_hbm) reads straight from the record, and
+    no per-block sample buffers are materialized.  Requires the Pallas
+    fetch path (replica tables are shared across blocks by row modulo).
+
+    samples_iq: [2S] int8 full record; states leaves [B, C].
+    Returns (states [B, C], outputs [B, n_epochs, C]).
+    """
+    B = n_blocks
+    C = states.abs_sample.shape[1]
+    flat = jax.tree.map(
+        lambda x: x.reshape((B * C,) + x.shape[2:]), states)
+    st, outs = track_superblock(samples_iq, jnp.int64(0), code_tables,
+                                pilot_tables, flat, params, n_epochs)
+    st = jax.tree.map(lambda x: x.reshape((B, C) + x.shape[1:]), st)
+    outs = jax.tree.map(
+        lambda x: jnp.transpose(x.reshape(x.shape[0], B, C), (1, 0, 2)),
+        outs)
+    return st, outs
 
 
 def predict_block_states(channels: Sequence, cfg, sig: SignalDef,
@@ -170,20 +204,26 @@ def track_time_parallel(cfg, sig: SignalDef, samples_iq: np.ndarray,
 
     states0, starts = predict_block_states(channels, cfg, sig, n_blocks,
                                            epochs_per_block)
-    # per-block sample windows: one code period of FRONT margin (handoff
-    # may move a block's start slightly before its predicted start) and
-    # tail margin
-    blk_len = (epochs_per_block + 4) * spc + params.blk + 256
+    # single-device Pallas fast path: all blocks as ONE flat channel
+    # bank over the full record, in-kernel HBM window fetch — no
+    # per-block sample buffers
+    use_flat = (mesh is None and params.use_pallas
+                and params.fetch_in_kernel)
     total = len(samples_iq) // 2
-    sb = np.zeros((n_blocks, 2 * blk_len), np.int8)
-    sb_start = np.zeros(n_blocks, np.int64)
-    sb_end = np.zeros(n_blocks, np.int64)
-    for b in range(n_blocks):
-        s0 = max(int(starts[b].min()) - spc, 0)
-        s1 = min(s0 + blk_len, total)
-        sb_start[b] = s0
-        sb_end[b] = s1
-        sb[b, :2 * (s1 - s0)] = samples_iq[2 * s0:2 * s1]
+    if not use_flat:
+        # per-block sample windows: one code period of FRONT margin
+        # (handoff may move a block's start slightly before its
+        # predicted start) and tail margin
+        blk_len = (epochs_per_block + 4) * spc + params.blk + 256
+        sb = np.zeros((n_blocks, 2 * blk_len), np.int8)
+        sb_start = np.zeros(n_blocks, np.int64)
+        sb_end = np.zeros(n_blocks, np.int64)
+        for b in range(n_blocks):
+            s0 = max(int(starts[b].min()) - spc, 0)
+            s1 = min(s0 + blk_len, total)
+            sb_start[b] = s0
+            sb_end[b] = s1
+            sb[b, :2 * (s1 - s0)] = samples_iq[2 * s0:2 * s1]
 
     if_offsets0 = np.zeros(len(channels))
     if sig.fdma:
@@ -199,11 +239,24 @@ def track_time_parallel(cfg, sig: SignalDef, samples_iq: np.ndarray,
         from ..tracking.engine import build_element_tables
         ctabs, ptabs = build_element_tables(cfg, sig, params, channels)
 
+    states = states0
+    ct_d, pt_d = jnp.asarray(ctabs), jnp.asarray(ptabs)
+    if use_flat:
+        samples_d = jnp.asarray(samples_iq)
+        outs = None
+        for it in range(handoff_iters + 1):
+            final, outs = _track_blocks_flat(samples_d, ct_d, pt_d,
+                                             states, params,
+                                             epochs_per_block, n_blocks)
+            if it < handoff_iters:
+                states = _ring_shift(states0, final)
+        return _stitch(cfg, sig, channels, n_blocks, epochs_per_block,
+                       handoff_iters, settle_epochs, states, final,
+                       outs, mesh)
+
     sb_d = jnp.asarray(sb)
     starts_d = jnp.asarray(sb_start)
     ends_d = jnp.asarray(sb_end)
-    states = states0
-    ct_d, pt_d = jnp.asarray(ctabs), jnp.asarray(ptabs)
     if mesh is not None:
         # mesh axes: 'tb' shards the block axis; an optional 'ch' axis
         # (2-D mesh, possibly spanning hosts) additionally shards the
@@ -229,7 +282,13 @@ def track_time_parallel(cfg, sig: SignalDef, samples_iq: np.ndarray,
                                     states, params, epochs_per_block)
         if it < handoff_iters:
             states = _ring_shift(states0, final)
+    return _stitch(cfg, sig, channels, n_blocks, epochs_per_block,
+                   handoff_iters, settle_epochs, states, final, outs,
+                   mesh)
 
+
+def _stitch(cfg, sig, channels, n_blocks, epochs_per_block,
+            handoff_iters, settle_epochs, states, final, outs, mesh):
     # ---- Costas 180° sign resolution across block boundaries --------------
     # A block's lock sign is ambiguous: it ran from an open-loop predicted
     # phase (predict mode) or its left neighbor's PREVIOUS-pass final

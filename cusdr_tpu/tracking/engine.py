@@ -73,6 +73,12 @@ class TrackParams:
     pf3: float = 0.0
     use_pallas: bool = False    # fused Pallas correlator bank (TPU)
     pallas_interpret: bool = False   # interpreter mode (CPU parity tests)
+    fetch_in_kernel: bool = False    # kernel DMAs its own sample/replica
+                                     # windows from HBM (scalar-prefetch,
+                                     # double-buffered) instead of XLA
+                                     # staging [C, blk] slices; not
+                                     # vmappable — the sharded time-block
+                                     # path disables it
     pilot_rot: int = 1          # pilot carrier phase in quarter turns vs
                                 # data: 1 = +Q (L5/E1/E5 quadrature
                                 # pilots), 0 = +I (L2C time-multiplexed
@@ -486,7 +492,7 @@ def _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start, end_sample,
     correlator (ops/correlator.py).  XLA does only the dynamic window
     slices and the f64 scalar loop updates; everything per-sample runs
     in one kernel.  State leaves are [C] (C a multiple of 8)."""
-    from ..ops.correlator import correlate_bank
+    from ..ops.correlator import correlate_bank, correlate_bank_hbm
 
     k = p.k_spacing
     blk_pad = _round_up(p.blk, 128)
@@ -498,32 +504,21 @@ def _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start, end_sample,
     blksize = jnp.minimum(blksize, p.blk)
 
     off = (st.abs_sample - sb_start).astype(jnp.int32)
-    si = jax.vmap(lambda o: jax.lax.dynamic_slice(
-        sig_i_all, (o,), (blk_pad,)))(off)
-    sq = jax.vmap(lambda o: jax.lax.dynamic_slice(
-        sig_q_all, (o,), (blk_pad,)))(off)
 
     shift_f = st.rem_code_phase / code_phase_step
     shift = jnp.floor(shift_f).astype(jnp.int32)
     alpha = (shift_f - jnp.floor(shift_f)).astype(jnp.float32)
     start = p.up_margin + shift - k
-    wt = jax.vmap(lambda t, s0: jax.lax.dynamic_slice(
-        t, (s0,), (wlen,)))(code_tables, start)
-    wp = None
     palpha = alpha
-    if p.has_pilot:
-        if p.pilot_period_mod > 1:
-            # divide by the BUILD-time step (see _epoch_one_channel)
-            pchips = (st.rem_code_phase
-                      + st.pilot_period.astype(jnp.float64) * p.code_len)
-            pshift_f = pchips / (st.code_freq_basis / p.fs)
-            pshift = jnp.floor(pshift_f).astype(jnp.int32)
-            palpha = (pshift_f - jnp.floor(pshift_f)).astype(jnp.float32)
-            pstart = p.up_margin + pshift - k
-        else:
-            pstart = start
-        wp = jax.vmap(lambda t, s0: jax.lax.dynamic_slice(
-            t, (s0,), (wlen,)))(pilot_tables, pstart)
+    pstart = start
+    if p.has_pilot and p.pilot_period_mod > 1:
+        # divide by the BUILD-time step (see _epoch_one_channel)
+        pchips = (st.rem_code_phase
+                  + st.pilot_period.astype(jnp.float64) * p.code_len)
+        pshift_f = pchips / (st.code_freq_basis / p.fs)
+        pshift = jnp.floor(pshift_f).astype(jnp.int32)
+        palpha = (pshift_f - jnp.floor(pshift_f)).astype(jnp.float32)
+        pstart = p.up_margin + pshift - k
 
     inc = _TWO_PI * st.carr_freq / p.fs            # f64 [C]
     inc_c = st.carr_freq / p.fs
@@ -534,11 +529,42 @@ def _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start, end_sample,
     remc = jnp.mod(st.rem_carr_phase / _TWO_PI, 1.0).astype(jnp.float32)
 
     col = lambda x: x[:, None]
-    out = correlate_bank(col(alpha), col(remc), col(shi), col(slo),
-                         col(blksize.astype(jnp.float32)),
-                         si, sq, wt, wp, alpha_p=col(palpha), k=k,
-                         pilot_rot=p.pilot_rot,
-                         interpret=p.pallas_interpret)
+    if p.fetch_in_kernel:
+        # windows are DMA'd inside the kernel; clamp offsets so an
+        # out-of-record window (frozen channel at the tail) reads valid
+        # bytes — validity is decided by _close_epoch's end_sample gate
+        n_rows = off.shape[0]
+        n_tab = code_tables.shape[0]
+        soff = jnp.clip(off, 0, sig_i_all.shape[0] - blk_pad)
+        woff = jnp.clip(start, 0, code_tables.shape[-1] - wlen)
+        wrow = jnp.arange(n_rows, dtype=jnp.int32) % n_tab
+        poff = None
+        wp_tab = None
+        if p.has_pilot:
+            poff = jnp.clip(pstart, 0, pilot_tables.shape[-1] - wlen)
+            wp_tab = pilot_tables
+        out = correlate_bank_hbm(
+            soff, woff, wrow, col(alpha), col(remc), col(shi), col(slo),
+            col(blksize.astype(jnp.float32)), sig_i_all, sig_q_all,
+            code_tables, wp_tab, k=k, blk_pad=blk_pad, wlen=wlen,
+            poff=poff, alpha_p=col(palpha), pilot_rot=p.pilot_rot,
+            interpret=p.pallas_interpret)
+    else:
+        si = jax.vmap(lambda o: jax.lax.dynamic_slice(
+            sig_i_all, (o,), (blk_pad,)))(off)
+        sq = jax.vmap(lambda o: jax.lax.dynamic_slice(
+            sig_q_all, (o,), (blk_pad,)))(off)
+        wt = jax.vmap(lambda t, s0: jax.lax.dynamic_slice(
+            t, (s0,), (wlen,)))(code_tables, start)
+        wp = None
+        if p.has_pilot:
+            wp = jax.vmap(lambda t, s0: jax.lax.dynamic_slice(
+                t, (s0,), (wlen,)))(pilot_tables, pstart)
+        out = correlate_bank(col(alpha), col(remc), col(shi), col(slo),
+                             col(blksize.astype(jnp.float32)),
+                             si, sq, wt, wp, alpha_p=col(palpha), k=k,
+                             pilot_rot=p.pilot_rot,
+                             interpret=p.pallas_interpret)
     i_e, q_e, i_p, q_p, i_l, q_l = (out[:, j] for j in range(6))
     if p.has_pilot:
         pi_e, pq_e, pi_p, pq_p, pi_l, pq_l = (out[:, 6 + j]
@@ -576,10 +602,13 @@ def track_superblock(samples_iq, sb_start, code_tables, pilot_tables,
             # edge-replicate dummy channels; their work is discarded
             state = jax.tree.map(
                 lambda x: jnp.concatenate([x] + [x[-1:]] * pad), state)
-            code_tables = jnp.concatenate(
-                [code_tables] + [code_tables[-1:]] * pad)
-            pilot_tables = jnp.concatenate(
-                [pilot_tables] + [pilot_tables[-1:]] * pad)
+            if code_tables.shape[0] == n_ch:
+                # flat time-parallel rows share tables by row modulo
+                # (fetch_in_kernel) — only tile when rows == tables
+                code_tables = jnp.concatenate(
+                    [code_tables] + [code_tables[-1:]] * pad)
+                pilot_tables = jnp.concatenate(
+                    [pilot_tables] + [pilot_tables[-1:]] * pad)
         sig_i_all = samples_iq[0::2]
         sig_q_all = samples_iq[1::2]
 
@@ -794,6 +823,7 @@ def make_track_params(cfg, sig: SignalDef) -> TrackParams:
         # the fused Pallas bank handles one pilot table; the dual-bank
         # WB composite runs on the XLA path
         use_pallas=bool(use_pallas and fast and not has_pilot2),
+        fetch_in_kernel=bool(use_pallas and fast and not has_pilot2),
         pilot_rot=(wb_rot if wb_rot is not None
                    else (0 if sig.pilot_in_phase else 1)),
         has_pilot2=has_pilot2, pilot2_rot=(4 - sig.pilot_wb_rot) % 4,

@@ -16,11 +16,13 @@ from cusdr_tpu.tracking.engine import (build_replica_tables,
                                        track_superblock)
 
 
-@pytest.mark.parametrize("signal,fs,has_pilot", [
-    ("gps_l1ca", 2.048e6, False),
-    ("gal_e5a", 12.288e6, True),
+@pytest.mark.parametrize("signal,fs,has_pilot,fetch_in_kernel", [
+    ("gps_l1ca", 2.048e6, False, False),
+    ("gal_e5a", 12.288e6, True, False),
+    ("gps_l1ca", 2.048e6, False, True),
+    ("gal_e5a", 12.288e6, True, True),
 ])
-def test_pallas_matches_xla(signal, fs, has_pilot):
+def test_pallas_matches_xla(signal, fs, has_pilot, fetch_in_kernel):
     cfg = get_config(signal, sampling_freq=fs, if_freq=7000.0)
     if has_pilot:
         cfg = cfg.replace(pilot_trk_flag=1)
@@ -46,8 +48,10 @@ def test_pallas_matches_xla(signal, fs, has_pilot):
     ct = jnp.asarray(ctabs)
     pt = jnp.asarray(ptabs)
 
-    p_xla = dataclasses.replace(params, use_pallas=False)
+    p_xla = dataclasses.replace(params, use_pallas=False,
+                                fetch_in_kernel=False)
     p_pl = dataclasses.replace(params, use_pallas=True,
+                               fetch_in_kernel=fetch_in_kernel,
                                pallas_interpret=True)
 
     st_x, out_x = track_superblock(sd, jnp.int64(0), ct, pt, state,

@@ -115,3 +115,66 @@ def test_single_handoff_converged_blocks(scene):
     tail = slice(2 * epb, 4 * epb)
     assert np.abs(par.carr_freq[:, tail]
                   - seq.carr_freq[:, tail]).max() < 2.0
+
+
+def test_flat_path_matches_block_path(scene):
+    """The single-device flat formulation (one B*C-row bank over the full
+    record, in-kernel HBM window fetch) must reproduce the per-block
+    vmapped path's trajectories (interpret-mode Pallas on CPU)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from cusdr_tpu.parallel.timeblocks import (_track_blocks,
+                                               _track_blocks_flat,
+                                               predict_block_states)
+    from cusdr_tpu.tracking.engine import (build_replica_tables,
+                                           make_track_params)
+
+    cfg, _, _ = scene
+    sig = get_signal("gps_l1ca")
+    rng = np.random.default_rng(1)
+    svs = [SynthSV(prn=7, code_phase=500.0, doppler_hz=1500.0,
+                   cn0_dbhz=48)]
+    iq = quantize_iq_int8(synthesize_if(cfg, sig, svs, num_ms=50, seed=4))
+    chans = [(7, 8500.0, 500), (9, 6000.0, 77), (21, 7500.0, 900)]
+    n_blocks, epb = 2, 20
+    params = make_track_params(cfg, sig)
+    params_pl = dataclasses.replace(params, use_pallas=True,
+                                    fetch_in_kernel=True,
+                                    pallas_interpret=True)
+    dops = [c[1] - cfg.if_freq for c in chans]
+    ct, pt = build_replica_tables(cfg, sig, params, chans, dops)
+    states, _ = predict_block_states(chans, cfg, sig, n_blocks, epb)
+
+    spc = cfg.samples_per_code
+    total = len(iq) // 2
+    st_f, out_f = _track_blocks_flat(jnp.asarray(iq), jnp.asarray(ct),
+                                     jnp.asarray(pt), states, params_pl,
+                                     epb, n_blocks)
+
+    blk_len = (epb + 4) * spc + params.blk + 256
+    starts = np.asarray(states.abs_sample).min(axis=1)
+    sb = np.zeros((n_blocks, 2 * blk_len), np.int8)
+    s0s = np.zeros(n_blocks, np.int64)
+    s1s = np.zeros(n_blocks, np.int64)
+    for b in range(n_blocks):
+        s0 = max(int(starts[b]) - spc, 0)
+        s1 = min(s0 + blk_len, total)
+        s0s[b], s1s[b] = s0, s1
+        sb[b, :2 * (s1 - s0)] = iq[2 * s0:2 * s1]
+    st_b, out_b = _track_blocks(jnp.asarray(sb), jnp.asarray(s0s),
+                                jnp.asarray(s1s), jnp.asarray(ct),
+                                jnp.asarray(pt), states, params,
+                                epb)
+    for name in ("i_p", "q_p", "i_e", "q_l"):
+        a = np.asarray(getattr(out_b, name))
+        bv = np.asarray(getattr(out_f, name))
+        scale = np.abs(a).max() + 1.0
+        assert np.allclose(a, bv, atol=2e-4 * scale), (
+            name, np.abs(a - bv).max(), scale)
+    np.testing.assert_array_equal(np.asarray(st_b.abs_sample),
+                                  np.asarray(st_f.abs_sample))
+    np.testing.assert_allclose(np.asarray(st_b.carr_freq),
+                               np.asarray(st_f.carr_freq),
+                               rtol=1e-6, atol=1e-6)
