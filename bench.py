@@ -112,7 +112,10 @@ def main():
     # serial scan.  Same total epochs, 40 blocks, run as one flat
     # 40x12-row channel bank over the full record (in-kernel HBM fetch)
     # when the Pallas path is on, else per-block buffers.
-    n_blocks = 40
+    # the vmapped per-block fallback compiles each block's program body
+    # B times — keep B modest there so compile stays bounded; the flat
+    # path scales B freely
+    n_blocks = 40 if (params.use_pallas and params.fetch_in_kernel) else 10
     epb = n_epochs // n_blocks
     starts_np = np.arange(n_blocks, dtype=np.int64) * (epb * spc)
     starts = jnp.asarray(starts_np)

@@ -230,28 +230,41 @@ def _build_call_hbm(blk_pad: int, wlen: int, k: int, has_pilot: bool,
         n = pl.num_programs(0)
 
         def dmas(step, slot):
-            """The cb-channel window copies for grid step ``step``."""
+            """The cb-channel window copies for grid step ``step``.
+
+            Every memref index is cast to i32 explicitly: the package
+            force-enables x64 (cusdr_tpu/__init__.py), so Python-int /
+            weak-typed indices would otherwise lower as i64, which
+            Mosaic's memref_slice rejects on hardware."""
+            slot = jnp.int32(slot)
+            step = jnp.int32(step)
             out = []
             for c in range(cb):
-                row = step * cb + c
-                so = soff_r[row]
+                ci = jnp.int32(c)
+                row = step * cb + ci
+                so = soff_r[row].astype(jnp.int32)
                 out.append(pltpu.make_async_copy(
                     sig_i_r.at[pl.ds(so, blk_pad)],
-                    si_s.at[slot, c], sem.at[slot, 0, c]))
+                    si_s.at[slot, ci], sem.at[slot, jnp.int32(0), ci]))
                 out.append(pltpu.make_async_copy(
                     sig_q_r.at[pl.ds(so, blk_pad)],
-                    sq_s.at[slot, c], sem.at[slot, 1, c]))
+                    sq_s.at[slot, ci], sem.at[slot, jnp.int32(1), ci]))
+                wr = wrow_r[row].astype(jnp.int32)
+                wo = woff_r[row].astype(jnp.int32)
                 out.append(pltpu.make_async_copy(
-                    wt_r.at[wrow_r[row], pl.ds(woff_r[row], wlen)],
-                    wt_s.at[slot, c], sem.at[slot, 2, c]))
+                    wt_r.at[wr, pl.ds(wo, wlen)],
+                    wt_s.at[slot, ci], sem.at[slot, jnp.int32(2), ci]))
                 if has_pilot:
+                    po = poff_r[row].astype(jnp.int32)
                     out.append(pltpu.make_async_copy(
-                        wp_r.at[wrow_r[row], pl.ds(poff_r[row], wlen)],
-                        wp_s.at[slot, c], sem.at[slot, 3, c]))
+                        wp_r.at[wr, pl.ds(po, wlen)],
+                        wp_s.at[slot, ci], sem.at[slot, jnp.int32(3), ci]))
             return out
 
         # double buffering: step i's windows were started at step i-1;
         # start step i+1's now, then wait on i's and compute
+        i = jnp.int32(i)
+        n = jnp.int32(n)
         slot = jax.lax.rem(i, jnp.int32(2))
 
         @pl.when(i == 0)

@@ -823,7 +823,11 @@ def make_track_params(cfg, sig: SignalDef) -> TrackParams:
         # the fused Pallas bank handles one pilot table; the dual-bank
         # WB composite runs on the XLA path
         use_pallas=bool(use_pallas and fast and not has_pilot2),
-        fetch_in_kernel=bool(use_pallas and fast and not has_pilot2),
+        # in-kernel HBM fetch: OFF until the aligned-DMA kernel rewrite
+        # lands (Mosaic requires provably tile-aligned HBM slice offsets;
+        # the per-sample-offset DMA of the round-3 kernel cannot compile
+        # on hardware)
+        fetch_in_kernel=False,
         pilot_rot=(wb_rot if wb_rot is not None
                    else (0 if sig.pilot_in_phase else 1)),
         has_pilot2=has_pilot2, pilot2_rot=(4 - sig.pilot_wb_rot) % 4,
