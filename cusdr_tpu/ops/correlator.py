@@ -207,114 +207,252 @@ def correlate_bank(alpha, remc, shi, slo, bsz, si, sq, wt, wp=None,
     return call(alpha, alpha_p, remc, shi, slo, bsz, si, sq, wt, wp)
 
 
+# --------------------------------------------------------------------------
+# In-kernel HBM window fetch (aligned DMA + exact in-kernel rotate)
+# --------------------------------------------------------------------------
+#
+# Mosaic only allows HBM slices whose offsets are provably aligned to the
+# memref tiling, so per-sample window offsets cannot be DMA'd directly.
+# The v2 design works entirely within those rules:
+#
+#  * the sample record and replica tables are stored as (rows, 4, 128)
+#    int8 — one (4, 128) int8 tile (512 samples) per leading index.  The
+#    leading dim is untiled, so DMA at ARBITRARY dynamic row offsets is
+#    legal; windows are fetched from the 512-sample-aligned start below
+#    the requested offset.
+#  * the samples are used UNROTATED: the 512-residual r moves into the
+#    validity mask (valid m in [r, r+bsz)) and the carrier phase
+#    (remc' = remc - inc*r, adjusted in f64 by the XLA caller).
+#  * the replica window absorbs the arbitrary alignment: its own flat
+#    offset residual rt in [0, 512) is applied in-kernel as an EXACT
+#    flat rotate — a dynamic lane roll + dynamic sublane rolls + a
+#    lane-boundary select (tpu.dynamic_rotate; verified on v5e).
+#
+# All index scalars are cast to int32: the package force-enables x64, so
+# Python-int/weak-typed indices would lower as i64, which Mosaic rejects.
+
+ALIGN = 512                     # samples per (4, 128) int8 record row
+
+
+def _shift_flat(x, d: int):
+    """Flat shift: y[j*128+l] = x[j*128+l+d] for static 0 <= d < 128.
+
+    x: (R, 128); valid for rows j with j+1 < R."""
+    if d == 0:
+        return x
+    # pltpu.roll validates static shifts as non-negative: use the
+    # positive modular equivalent of a backward roll
+    a = pltpu.roll(x, jnp.int32(128 - d), 1)
+    b = pltpu.roll(a, jnp.int32(x.shape[0] - 1), 0)
+    l = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(l < 128 - d, a, b)
+
+
+def _rotate_flat(x, rt):
+    """Flat rotate: y[j*128+l] = x[j*128+l+rt] for dynamic rt in [0, 512).
+
+    x: (R, 128) f32; valid for rows j with j + rt//128 + 1 < R."""
+    rl = jax.lax.rem(rt, jnp.int32(128))
+    rq = jax.lax.div(rt, jnp.int32(128))
+    nrow = jnp.int32(x.shape[0])
+    xr = pltpu.roll(x, jnp.int32(128) - rl, 1)   # lanes (dynamic)
+    xs = pltpu.roll(xr, nrow - rq, 0)            # rows (dynamic)
+    xs1 = pltpu.roll(xs, jnp.int32(x.shape[0] - 1), 0)  # rows + 1
+    l = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(l < 128 - rl, xs, xs1)
+
+
+def _correlate_rows(si, sq, wi, wpi, remc, shi, slo, rstart, bsz,
+                    alpha, alpha_p, *, rows: int, k: int,
+                    has_pilot: bool, pilot_rot: int):
+    """Correlator sums for ONE channel in (rows, 128) window layout.
+
+    si/sq: (rows, 128) f32 sample window starting at the aligned offset;
+    wi/wpi: (rows+2+, 128) f32 replica windows ALREADY rotated so that
+    flat index m matches sample flat index m; the rest are f32/i32
+    scalars (from SMEM).  Returns a list of 6 (or 12) correlator sums.
+    """
+    # factorized carrier over the 2-D grid: n = 128 t + l natively maps
+    # to (sublane, lane) — no reshape needed (cf. _correlate_block)
+    t_f = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0).astype(
+        jnp.float32)
+    l_f = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(
+        jnp.float32)
+    pu = remc + shi * t_f
+    pu = (pu - jnp.floor(pu)) * _TWO_PI
+    pv = slo * l_f
+    pv = (pv - jnp.floor(pv)) * _TWO_PI
+    ur, ui = jnp.cos(pu), jnp.sin(pu)
+    vr, vi = jnp.cos(pv), jnp.sin(pv)
+    cosw = ur * vr - ui * vi
+    sinw = ur * vi + ui * vr
+    n2d = (jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0) * 128
+           + jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+           ).astype(jnp.float32)
+    mask = ((n2d >= rstart) & (n2d < rstart + bsz)).astype(jnp.float32)
+    bb_i = (si * cosw + sq * sinw) * mask
+    bb_q = (sq * cosw - si * sinw) * mask
+
+    def taps(w, al):
+        base = w + al * (_shift_flat(w, 1) - w)
+        return (base[:rows], _shift_flat(base, k)[:rows],
+                _shift_flat(base, 2 * k)[:rows])
+
+    def s(x):
+        return jnp.sum(x)
+
+    early, prompt, late = taps(wi, alpha)
+    sums = [s(early * bb_i), s(early * bb_q),
+            s(prompt * bb_i), s(prompt * bb_q),
+            s(late * bb_i), s(late * bb_q)]
+    if has_pilot:
+        pe, pp, plate = taps(wpi, alpha_p)
+        # pilot carrier at j^rot vs data (see _correlate_block)
+        if pilot_rot == 0:
+            pb_i, pb_q = bb_i, bb_q
+        elif pilot_rot == 1:
+            pb_i, pb_q = -bb_q, bb_i
+        elif pilot_rot == 2:
+            pb_i, pb_q = -bb_i, -bb_q
+        else:
+            pb_i, pb_q = bb_q, -bb_i
+        sums += [s(pe * pb_i), s(pe * pb_q),
+                 s(pp * pb_i), s(pp * pb_q),
+                 s(plate * pb_i), s(plate * pb_q)]
+    return sums
+
+
+def hbm_geometry(blk_pad: int, k: int):
+    """Static window geometry for the HBM-fetch kernel.
+
+    Returns (rows, tq_s, tq_w): compute rows of 128 samples, record rows
+    (of ALIGN=512 samples) DMA'd per sample window, and table rows DMA'd
+    per replica window.  The caller sizes record/table padding so any
+    clamped q stays within [0, total_rows - tq_*]."""
+    rows = blk_pad // 128 + ALIGN // 128
+    # replica reads flat m + 2k + 2 <= 128*(rows + 2); the rotate then
+    # needs +4 source rows (rt < 512) + 1 lane-carry row.  tq_w is kept
+    # EVEN so the rotate buffer has 4*tq_w % 8 == 0 rows — the sublane
+    # dynamic_rotate requires 8-row alignment
+    tq_w = (rows + 2 + 5 + 3) // 4 + 1
+    tq_w += tq_w % 2
+    tq_s = (rows + 3) // 4
+    return rows, tq_s, tq_w
+
+
 @functools.lru_cache(maxsize=64)
-def _build_call_hbm(blk_pad: int, wlen: int, k: int, has_pilot: bool,
+def _build_call_hbm(blk_pad: int, k: int, has_pilot: bool,
                     pilot_rot: int, interpret: bool):
+    assert blk_pad % 128 == 0
+    assert 0 < k <= 63, k         # tap flat-shifts assume 2k+1 < 128
     n_out = 16 if has_pilot else 8
     cb = CHANNEL_BLOCK
     n_dma = 4 if has_pilot else 3
+    rows, tq_s, tq_w = hbm_geometry(blk_pad, k)
+    r_in = 4 * tq_w               # rotate working rows
+    n_pref = 13 if has_pilot else 10
 
     def kernel(*refs):
         if has_pilot:
-            (soff_r, woff_r, wrow_r, poff_r,
-             alpha_r, alphap_r, remc_r, shi_r, slo_r, bsz_r,
+            (q_r, wrow_r, qt_r, rt_r, qp_r, rp_r,
+             alpha_r, alphap_r, remc_r, shi_r, slo_r, bsz_r, rst_r,
              sig_i_r, sig_q_r, wt_r, wp_r, out_r,
              si_s, sq_s, wt_s, wp_s, sem) = refs
         else:
-            (soff_r, woff_r, wrow_r, poff_r,
-             alpha_r, remc_r, shi_r, slo_r, bsz_r,
+            (q_r, wrow_r, qt_r, rt_r,
+             alpha_r, remc_r, shi_r, slo_r, bsz_r, rst_r,
              sig_i_r, sig_q_r, wt_r, out_r,
              si_s, sq_s, wt_s, sem) = refs
-            alphap_r = wp_r = wp_s = None
-        i = pl.program_id(0)
-        n = pl.num_programs(0)
+            alphap_r = wp_r = wp_s = qp_r = rp_r = None
+        i = jnp.int32(pl.program_id(0))
 
-        def dmas(step, slot):
-            """The cb-channel window copies for grid step ``step``.
-
-            Every memref index is cast to i32 explicitly: the package
-            force-enables x64 (cusdr_tpu/__init__.py), so Python-int /
-            weak-typed indices would otherwise lower as i64, which
-            Mosaic's memref_slice rejects on hardware."""
-            slot = jnp.int32(slot)
-            step = jnp.int32(step)
-            out = []
-            for c in range(cb):
-                ci = jnp.int32(c)
-                row = step * cb + ci
-                so = soff_r[row].astype(jnp.int32)
+        def chan_dmas(c: int):
+            """Window copies for channel c of THIS grid step, into
+            channel-slot c % 2.  The pipeline keeps at most two
+            channels' copies outstanding — launching a whole step's
+            (or two steps') batches at once overruns the DMA queue and
+            deadlocks on hardware (measured on v5e)."""
+            slot = jnp.int32(c % 2)
+            row = i * cb + jnp.int32(c)
+            qv = q_r[row].astype(jnp.int32)
+            out = [pltpu.make_async_copy(
+                       sig_i_r.at[pl.ds(qv, tq_s)],
+                       si_s.at[slot], sem.at[slot, jnp.int32(0)]),
+                   pltpu.make_async_copy(
+                       sig_q_r.at[pl.ds(qv, tq_s)],
+                       sq_s.at[slot], sem.at[slot, jnp.int32(1)])]
+            wr = wrow_r[row].astype(jnp.int32)
+            qtv = qt_r[row].astype(jnp.int32)
+            out.append(pltpu.make_async_copy(
+                wt_r.at[wr, pl.ds(qtv, tq_w)],
+                wt_s.at[slot], sem.at[slot, jnp.int32(2)]))
+            if has_pilot:
+                qpv = qp_r[row].astype(jnp.int32)
                 out.append(pltpu.make_async_copy(
-                    sig_i_r.at[pl.ds(so, blk_pad)],
-                    si_s.at[slot, ci], sem.at[slot, jnp.int32(0), ci]))
-                out.append(pltpu.make_async_copy(
-                    sig_q_r.at[pl.ds(so, blk_pad)],
-                    sq_s.at[slot, ci], sem.at[slot, jnp.int32(1), ci]))
-                wr = wrow_r[row].astype(jnp.int32)
-                wo = woff_r[row].astype(jnp.int32)
-                out.append(pltpu.make_async_copy(
-                    wt_r.at[wr, pl.ds(wo, wlen)],
-                    wt_s.at[slot, ci], sem.at[slot, jnp.int32(2), ci]))
-                if has_pilot:
-                    po = poff_r[row].astype(jnp.int32)
-                    out.append(pltpu.make_async_copy(
-                        wp_r.at[wr, pl.ds(po, wlen)],
-                        wp_s.at[slot, ci], sem.at[slot, jnp.int32(3), ci]))
+                    wp_r.at[wr, pl.ds(qpv, tq_w)],
+                    wp_s.at[slot], sem.at[slot, jnp.int32(3)]))
             return out
 
-        # double buffering: step i's windows were started at step i-1;
-        # start step i+1's now, then wait on i's and compute
-        i = jnp.int32(i)
-        n = jnp.int32(n)
-        slot = jax.lax.rem(i, jnp.int32(2))
+        for d in chan_dmas(0):
+            d.start()
 
-        @pl.when(i == 0)
-        def _():
-            for d in dmas(0, 0):
-                d.start()
-
-        @pl.when(i + 1 < n)
-        def _():
-            for d in dmas(i + 1, jax.lax.rem(i + 1, jnp.int32(2))):
-                d.start()
-
-        for d in dmas(i, slot):
-            d.wait()
-
-        out_r[:] = _correlate_block(
-            si_s[slot], sq_s[slot], wt_s[slot],
-            wp_s[slot] if has_pilot else None,
-            alpha_r[:], alphap_r[:] if has_pilot else None,
-            remc_r[:], shi_r[:], slo_r[:], bsz_r[:],
-            blk_pad=blk_pad, k=k, has_pilot=has_pilot,
-            pilot_rot=pilot_rot)
-
-    def vec():
-        return pl.BlockSpec((cb, 1), lambda i, *_: (i, 0),
-                            memory_space=pltpu.VMEM)
+        for c in range(cb):
+            slot = c % 2
+            if c + 1 < cb:
+                for d in chan_dmas(c + 1):
+                    d.start()
+            for d in chan_dmas(c):
+                d.wait()
+            row = i * cb + jnp.int32(c)
+            si = si_s[slot].reshape(4 * tq_s, 128)[:rows].astype(
+                jnp.float32)
+            sq = sq_s[slot].reshape(4 * tq_s, 128)[:rows].astype(
+                jnp.float32)
+            rt = rt_r[row].astype(jnp.int32)
+            w = wt_s[slot].reshape(r_in, 128).astype(jnp.float32)
+            wi = _rotate_flat(w, rt)
+            wpi = None
+            if has_pilot:
+                rp = rp_r[row].astype(jnp.int32)
+                wp_buf = wp_s[slot].reshape(r_in, 128).astype(
+                    jnp.float32)
+                wpi = _rotate_flat(wp_buf, rp)
+            sums = _correlate_rows(
+                si, sq, wi, wpi,
+                remc_r[row], shi_r[row], slo_r[row], rst_r[row],
+                bsz_r[row], alpha_r[row],
+                alphap_r[row] if has_pilot else None,
+                rows=rows, k=k, has_pilot=has_pilot, pilot_rot=pilot_rot)
+            sums = sums + [jnp.float32(0.0)] * (n_out - len(sums))
+            vals = jnp.concatenate([v.reshape(1, 1) for v in sums],
+                                   axis=1)
+            out_r[pl.ds(c, 1), :] = vals
 
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
 
-    def call(soff, woff, wrow, poff, alpha, alpha_p, remc, shi, slo,
-             bsz, sig_i, sig_q, wt, wp=None):
-        c = soff.shape[0]
+    def call(q, wrow, qt, rt, qp, rp, alpha, alpha_p, remc, shi, slo,
+             bsz, rstart, sig_i3, sig_q3, wt4, wp4=None):
+        c = q.shape[0]
         assert c % cb == 0, c
-        n_vec = 6 if has_pilot else 5
-        in_specs = [vec()] * n_vec + [hbm] * (4 if has_pilot else 3)
-        scratch = [pltpu.VMEM((2, cb, blk_pad), jnp.int8),
-                   pltpu.VMEM((2, cb, blk_pad), jnp.int8),
-                   pltpu.VMEM((2, cb, wlen), jnp.int8)]
+        in_specs = [hbm] * (4 if has_pilot else 3)
+        scratch = [pltpu.VMEM((2, tq_s, 4, 128), jnp.int8),
+                   pltpu.VMEM((2, tq_s, 4, 128), jnp.int8),
+                   pltpu.VMEM((2, tq_w, 4, 128), jnp.int8)]
         if has_pilot:
-            scratch.append(pltpu.VMEM((2, cb, wlen), jnp.int8))
-            args = [alpha, alpha_p, remc, shi, slo, bsz,
-                    sig_i, sig_q, wt, wp]
+            scratch.append(pltpu.VMEM((2, tq_w, 4, 128), jnp.int8))
+            pref = [q, wrow, qt, rt, qp, rp,
+                    alpha, alpha_p, remc, shi, slo, bsz, rstart]
+            args = [sig_i3, sig_q3, wt4, wp4]
         else:
-            args = [alpha, remc, shi, slo, bsz, sig_i, sig_q, wt]
-        scratch.append(pltpu.SemaphoreType.DMA((2, n_dma, cb)))
+            pref = [q, wrow, qt, rt,
+                    alpha, remc, shi, slo, bsz, rstart]
+            args = [sig_i3, sig_q3, wt4]
+        scratch.append(pltpu.SemaphoreType.DMA((2, n_dma)))
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=n_pref,
             grid=(c // cb,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((cb, n_out), lambda i, *_: (i, 0),
+            out_specs=pl.BlockSpec((cb, n_out), lambda i, *_: (i, i * 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=scratch,
         )
@@ -323,32 +461,39 @@ def _build_call_hbm(blk_pad: int, wlen: int, k: int, has_pilot: bool,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((c, n_out), jnp.float32),
             interpret=interpret,
-        )(soff, woff, wrow, poff, *args)
+        )(*pref, *args)
 
     return call
 
 
-def correlate_bank_hbm(soff, woff, wrow, alpha, remc, shi, slo, bsz,
-                       sig_i, sig_q, wt, wp=None, *, k: int,
-                       blk_pad: int, wlen: int, poff=None, alpha_p=None,
+def correlate_bank_hbm(q, wrow, qt, rt, alpha, remc, shi, slo, bsz,
+                       rstart, sig_i3, sig_q3, wt4, wp4=None, *, k: int,
+                       blk_pad: int, qp=None, rp=None, alpha_p=None,
                        pilot_rot: int = 1, interpret: bool = False):
-    """Correlator sums with in-kernel window fetch from HBM.
+    """Correlator sums with in-kernel aligned window fetch from HBM.
 
-    soff: [C] i32 sample-window start of each channel in sig_i/sig_q
-      (clamped by the caller to [0, len(sig)-blk_pad])
-    woff/poff: [C] i32 replica-window starts within the table rows
-    wrow: [C] i32 table row per channel (rows may be shared: the flat
-      time-parallel path maps B·C channel-rows onto C tables)
-    sig_i/sig_q: [S] int8 full sample record (stays in HBM)
-    wt/wp: [R, TL] int8 replica tables (stay in HBM)
-    Other operands as in correlate_bank.
+    q: [C] i32 record row (ALIGN=512-sample unit) of each channel's
+      window: q = soff // 512 with soff clamped so q + tq_s stays in
+      the record
+    wrow: [C] i32 replica-table row per channel
+    qt/rt: [C] i32 table window row (512-unit) and flat residual in
+      [0, 512): for desired flat table offset o (= start - soff%512),
+      qt = clamp(o // 512), rt = o - 512 qt
+    qp/rp: same for the pilot table (defaults to qt/rt)
+    alpha/alpha_p/remc/shi/slo/bsz/rstart: [C] f32 per-channel scalars
+      (SMEM); rstart = soff mod 512 — the valid-sample mask starts
+      there, and the caller folds the same residual into remc
+    sig_i3/sig_q3: (rows, 4, 128) int8 record staying in HBM
+    wt4/wp4: (R, rows, 4, 128) int8 replica tables staying in HBM
+    Returns [C, 8] (or [C, 16] with pilot) f32 like correlate_bank.
+    The caller must size record/table row padding via ``hbm_geometry``.
+    Reference semantics: GPS/GPS_L1CA/include/tracking.m:280-300.
     """
-    call = _build_call_hbm(int(blk_pad), int(wlen), int(k),
-                           wp is not None, int(pilot_rot),
-                           bool(interpret))
+    call = _build_call_hbm(int(blk_pad), int(k), wp4 is not None,
+                           int(pilot_rot), bool(interpret))
     if alpha_p is None:
         alpha_p = alpha
-    if poff is None:
-        poff = woff
-    return call(soff, woff, wrow, poff, alpha, alpha_p, remc, shi, slo,
-                bsz, sig_i, sig_q, wt, wp)
+    if qp is None:
+        qp, rp = qt, rt
+    return call(q, wrow, qt, rt, qp, rp, alpha, alpha_p, remc, shi, slo,
+                bsz, rstart, sig_i3, sig_q3, wt4, wp4)

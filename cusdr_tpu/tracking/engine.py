@@ -530,24 +530,48 @@ def _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start, end_sample,
 
     col = lambda x: x[:, None]
     if p.fetch_in_kernel:
-        # windows are DMA'd inside the kernel; clamp offsets so an
-        # out-of-record window (frozen channel at the tail) reads valid
-        # bytes — validity is decided by _close_epoch's end_sample gate
+        # aligned in-kernel DMA (ops/correlator.py v2): sig_i_all /
+        # sig_q_all arrive as (NR, 4, 128) int8, tables as
+        # (R, TQ, 4, 128).  Windows are fetched from the 512-sample-
+        # aligned row below the requested offset; the residual moves
+        # into the mask start + carrier phase, and the replica window
+        # offset (rotated exactly in-kernel).  Offsets are computed in
+        # i64 so multi-GB records cannot overflow (the flat time-
+        # parallel path spans the whole record with sb_start=0).
+        from ..ops.correlator import hbm_geometry, ALIGN
+        rows_g, tq_s, tq_w = hbm_geometry(blk_pad, k)
         n_rows = off.shape[0]
         n_tab = code_tables.shape[0]
-        soff = jnp.clip(off, 0, sig_i_all.shape[0] - blk_pad)
-        woff = jnp.clip(start, 0, code_tables.shape[-1] - wlen)
+        off64 = st.abs_sample - sb_start
+        q_max = sig_i_all.shape[0] - tq_s
+        off64 = jnp.clip(off64, 0, q_max * ALIGN + ALIGN - 1)
+        q = (off64 // ALIGN).astype(jnp.int32)
+        r = (off64 - off64 // ALIGN * ALIGN).astype(jnp.int32)
+        # fold the alignment residual into the carrier phase:
+        # carr[m - r] = exp(-j 2pi (remc - inc*r + inc*m))
+        remc = jnp.mod(st.rem_carr_phase / _TWO_PI
+                       - inc_c * r.astype(jnp.float64),
+                       1.0).astype(jnp.float32)
         wrow = jnp.arange(n_rows, dtype=jnp.int32) % n_tab
-        poff = None
+
+        def table_off(start_i, tq_total):
+            o = jnp.clip(start_i - r, 0,
+                         (tq_total - tq_w) * ALIGN + ALIGN - 1)
+            qt = (o // ALIGN).astype(jnp.int32)
+            return qt, (o - qt * ALIGN).astype(jnp.int32)
+
+        qt, rt = table_off(start, code_tables.shape[1])
+        qp = rp = None
         wp_tab = None
         if p.has_pilot:
-            poff = jnp.clip(pstart, 0, pilot_tables.shape[-1] - wlen)
+            qp, rp = table_off(pstart, pilot_tables.shape[1])
             wp_tab = pilot_tables
+        f32 = lambda x: x.astype(jnp.float32)
         out = correlate_bank_hbm(
-            soff, woff, wrow, col(alpha), col(remc), col(shi), col(slo),
-            col(blksize.astype(jnp.float32)), sig_i_all, sig_q_all,
-            code_tables, wp_tab, k=k, blk_pad=blk_pad, wlen=wlen,
-            poff=poff, alpha_p=col(palpha), pilot_rot=p.pilot_rot,
+            q, wrow, qt, rt, alpha, remc, shi, slo,
+            f32(blksize), f32(r), sig_i_all, sig_q_all,
+            code_tables, wp_tab, k=k, blk_pad=blk_pad,
+            qp=qp, rp=rp, alpha_p=palpha, pilot_rot=p.pilot_rot,
             interpret=p.pallas_interpret)
     else:
         si = jax.vmap(lambda o: jax.lax.dynamic_slice(
@@ -611,6 +635,27 @@ def track_superblock(samples_iq, sb_start, code_tables, pilot_tables,
                     [pilot_tables] + [pilot_tables[-1:]] * pad)
         sig_i_all = samples_iq[0::2]
         sig_q_all = samples_iq[1::2]
+        if params.fetch_in_kernel:
+            # re-layout record + tables for the aligned in-kernel DMA:
+            # (rows, 4, 128) int8 — one 512-sample tile per row index
+            # (leading dims are untiled, so Mosaic allows arbitrary
+            # dynamic row offsets; see ops/correlator.py)
+            from ..ops.correlator import hbm_geometry, ALIGN
+            k = params.k_spacing
+            blk_pad = _round_up(params.blk, 128)
+            _, tq_s, tq_w = hbm_geometry(blk_pad, k)
+
+            def to_rows(x, tq_min):
+                n = x.shape[-1]
+                nr = max(-(-n // ALIGN), tq_min) + tq_min
+                pad = [(0, 0)] * (x.ndim - 1) + [(0, nr * ALIGN - n)]
+                return jnp.pad(x, pad).reshape(
+                    x.shape[:-1] + (nr, 4, 128))
+
+            sig_i_all = to_rows(sig_i_all, tq_s)
+            sig_q_all = to_rows(sig_q_all, tq_s)
+            code_tables = to_rows(code_tables, tq_w)
+            pilot_tables = to_rows(pilot_tables, tq_w)
 
         def step(st, _):
             return _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start,
@@ -823,11 +868,10 @@ def make_track_params(cfg, sig: SignalDef) -> TrackParams:
         # the fused Pallas bank handles one pilot table; the dual-bank
         # WB composite runs on the XLA path
         use_pallas=bool(use_pallas and fast and not has_pilot2),
-        # in-kernel HBM fetch: OFF until the aligned-DMA kernel rewrite
-        # lands (Mosaic requires provably tile-aligned HBM slice offsets;
-        # the per-sample-offset DMA of the round-3 kernel cannot compile
-        # on hardware)
-        fetch_in_kernel=False,
+        fetch_in_kernel=bool(use_pallas and fast and not has_pilot2),
+        # table front margin must cover the in-kernel fetch's 512-sample
+        # alignment residual plus the E-tap lead (ops/correlator.py v2)
+        up_margin=1024,
         pilot_rot=(wb_rot if wb_rot is not None
                    else (0 if sig.pilot_in_phase else 1)),
         has_pilot2=has_pilot2, pilot2_rot=(4 - sig.pilot_wb_rot) % 4,

