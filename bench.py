@@ -13,7 +13,17 @@ Prints ONE JSON line.
 """
 
 import json
+import os
+import sys
 import time
+
+
+def _dbg(msg, _t0=[None]):
+    if os.environ.get("BENCH_DEBUG"):
+        if _t0[0] is None:
+            _t0[0] = time.perf_counter()
+        print(f"[bench +{time.perf_counter()-_t0[0]:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
 
 import numpy as np
 
@@ -71,7 +81,9 @@ def main():
             *args, n_noncoh=noncoh, n_comp=1, search_len=search_len)
         return np.asarray(peak)
 
+    _dbg("acq compile...")
     run_acq()                          # compile
+    _dbg("acq compiled")
     t0 = time.perf_counter()
     run_acq()
     t_acq = time.perf_counter() - t0
@@ -101,7 +113,9 @@ def main():
                                     state, params, n_epochs)
         return np.asarray(st.carr_freq)   # small fetch = real sync
 
+    _dbg("seq track compile...")
     run_track()                        # compile
+    _dbg("seq track compiled")
     t0 = time.perf_counter()
     run_track()
     t_track = time.perf_counter() - t0
@@ -114,20 +128,29 @@ def main():
     # when the Pallas path is on, else per-block buffers.
     # the vmapped per-block fallback compiles each block's program body
     # B times — keep B modest there so compile stays bounded; the flat
-    # path scales B freely
-    n_blocks = 40 if (params.use_pallas and params.fetch_in_kernel) else 10
-    epb = n_epochs // n_blocks
+    # path scales B freely and amortizes the per-call dispatch + record
+    # prep over a 10 s record (fixed costs measured ~60 ms on v5e)
+    use_flat = params.use_pallas and params.fetch_in_kernel
+    n_epochs_tp = 10_000 if use_flat else n_epochs
+    n_blocks = 100 if use_flat else 10
+    epb = n_epochs_tp // n_blocks
     starts_np = np.arange(n_blocks, dtype=np.int64) * (epb * spc)
     starts = jnp.asarray(starts_np)
     st_b = jax.tree.map(lambda x: jnp.stack([x] * n_blocks), state)
     st_b = st_b._replace(abs_sample=st_b.abs_sample + starts[:, None])
 
-    if params.use_pallas and params.fetch_in_kernel:
+    if use_flat:
         from cusdr_tpu.parallel.timeblocks import _track_blocks_flat
+        samples_tp = rng.integers(
+            -16, 16, 2 * (n_epochs_tp + 4) * spc).astype(np.int8)
+        _dbg("tp record to device...")
+        samples_tp_d = jnp.asarray(samples_tp)
+        jax.block_until_ready(samples_tp_d)
+        _dbg("tp record on device")
 
         def run_track_tp():
-            st, outs = _track_blocks_flat(samples_d, ctabs, ptabs, st_b,
-                                          params, epb, n_blocks)
+            st, outs = _track_blocks_flat(samples_tp_d, ctabs, ptabs,
+                                          st_b, params, epb, n_blocks)
             return np.asarray(st.carr_freq)
     else:
         from cusdr_tpu.parallel.timeblocks import _track_blocks
@@ -142,14 +165,16 @@ def main():
                                      st_b, params, epb)
             return np.asarray(st.carr_freq)
 
+    _dbg("tp track compile...")
     run_track_tp()                     # compile
+    _dbg("tp track compiled")
     t0 = time.perf_counter()
     run_track_tp()
     t_track_tp = time.perf_counter() - t0
 
     # ---------------- combined metric --------------------------------------
     track_rate_seq = n_epochs * spc / t_track        # samples/s
-    track_rate_tp = n_epochs * spc / t_track_tp
+    track_rate_tp = n_epochs_tp * spc / t_track_tp
     track_rate = max(track_rate_seq, track_rate_tp)
     total_samples = 60.0 * cfg.sampling_freq         # 60 s record
     t_total = t_acq + total_samples / track_rate

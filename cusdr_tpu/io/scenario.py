@@ -176,12 +176,19 @@ def make_generic_scenario(cfg, sig, *, eph_factory, satpos_fn,
     for prn in pool:
         if len(svs) >= n_svs:
             break
-        eph = eph_factory(prn, toe,
-                          m0=float(rng.uniform(-GPS_PI, GPS_PI)),
-                          omega0=float(rng.uniform(-GPS_PI, GPS_PI)))
-        pos, _ = satpos_fn(tow0, eph)
-        _, elev, _ = topocent(rx, pos - rx)
-        if elev < min_elev_deg:
+        # scenario generation must be total: rejection-sampling one
+        # geometry draw per PRN can leave fewer than n_svs visible from
+        # a small pool (this errored the L5C e2e fixture) — redraw each
+        # PRN's orbit plane until it clears the elevation mask
+        for _ in range(64):
+            eph = eph_factory(prn, toe,
+                              m0=float(rng.uniform(-GPS_PI, GPS_PI)),
+                              omega0=float(rng.uniform(-GPS_PI, GPS_PI)))
+            pos, _ = satpos_fn(tow0, eph)
+            _, elev, _ = topocent(rx, pos - rx)
+            if elev >= min_elev_deg:
+                break
+        else:
             continue
         ts = np.asarray([0.0, duration_s / 2.0, duration_s])
         g = np.empty(3)

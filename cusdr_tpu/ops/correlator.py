@@ -63,8 +63,10 @@ def _correlate_block(si, sq, wt, wp, alpha, alpha_p, remc, shi, slo, bsz,
     # so the transcendentals drop from blk_pad evaluations per row to
     # T + 128 (~67x fewer — sin/cos dominated the original kernel),
     # and each sample costs one 6-op complex multiply instead.
-    # Phase error stays ~1e-5 cycles: each factor's f32 phase product
-    # is bounded by ~141 cycles before the mod-1 reduction.
+    # Phase error: each u-factor f32 phase product is bounded by
+    # blk_pad/128 cycles before the mod-1 reduction, so the error is
+    # ~(blk_pad/128)*2^-23 cycles — ~1e-5 cycles at blk_pad=18048 and
+    # growing linearly with the sampling rate.
     T = blk_pad // 128
     t_f = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1).astype(
         jnp.float32)

@@ -67,6 +67,9 @@ def make_mesh_2d(n_ch: Optional[int] = None,
         n_ch = max(jax.process_count(), 1)
     if n_tb is None:
         n_tb = len(devs) // n_ch
+    assert n_tb >= 1, \
+        f"n_ch={n_ch} exceeds the {len(devs)} available devices " \
+        f"(derived n_tb=0 would build an empty mesh)"
     assert n_ch * n_tb <= len(devs), \
         f"mesh {n_ch}x{n_tb} needs {n_ch * n_tb} devices, " \
         f"have {len(devs)}"

@@ -633,8 +633,15 @@ def track_superblock(samples_iq, sb_start, code_tables, pilot_tables,
                     [code_tables] + [code_tables[-1:]] * pad)
                 pilot_tables = jnp.concatenate(
                     [pilot_tables] + [pilot_tables[-1:]] * pad)
-        sig_i_all = samples_iq[0::2]
-        sig_q_all = samples_iq[1::2]
+        # deinterleave via int16 bitcast + shifts: the natural [0::2]
+        # strided slice lowers to a gather that costs ~0.65 s on a 2 s
+        # 18 Msps record (measured on v5e); the bitcast form runs at
+        # full HBM bandwidth.  I is the low byte (little-endian), Q the
+        # high byte; int8 truncation keeps exactly that byte.
+        v16 = jax.lax.bitcast_convert_type(
+            samples_iq.reshape(-1, 2), jnp.int16)
+        sig_i_all = v16.astype(jnp.int8)
+        sig_q_all = (v16 >> 8).astype(jnp.int8)
         if params.fetch_in_kernel:
             # re-layout record + tables for the aligned in-kernel DMA:
             # (rows, 4, 128) int8 — one 512-sample tile per row index

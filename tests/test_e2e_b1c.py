@@ -42,7 +42,15 @@ def chain():
     cfg = get_config("bds_b1c", sampling_freq=FS, if_freq=IF,
                      acq_satellite_list=(17, 19, 23),
                      acq_search_band=500.0, acq_search_step=50.0,
-                     fine_search_step=10.0, acq_threshold=2.5,
+                     # threshold matched to the speed-reduced noncoh=2:
+                     # the noise-only GLRT peak is the max of ~1.7e6
+                     # weighted 2-round envelope sums, E[max/mean] ~ 1 +
+                     # cv*sqrt(2 ln N) ~ 2.6 (cv = 0.52/sqrt(n_eff),
+                     # n_eff = noncoh*(sum w)^2/sum w^2 = 3.3); 3.5
+                     # clears that tail while a 47 dB-Hz SV sits at ~18.
+                     # The PRESET keeps the reference's 10.0 at its 10 ms
+                     # coherent / noncoh=1 (BDS/B1C/initSettings.m:99).
+                     fine_search_step=10.0, acq_threshold=3.5,
                      acq_non_coh_time=2)
     sig = get_signal("bds_b1c")
     frames = [bcnav.bcnav1_encode_frame(PRN, SOH + i, EPH)

@@ -50,13 +50,17 @@ def _glo_eph(k: int, t_b: float) -> dict:
                 TOD=0.0)
 
 
-@pytest.fixture(scope="module")
-def chain():
-    cfg = get_config("glo_l1", sampling_freq=4.096e6, if_freq=7000.0,
+@pytest.fixture(scope="module", params=["glo_l1", "glo_l2"])
+def chain(request):
+    """Parametrized over BOTH FDMA receivers: GL1 (562.5 kHz spacing)
+    and GL2 (437.5 kHz, GLO/GLO_GL2/initSettings.m:73) — same shared
+    m-sequence and nav stack, different carrier plan, so the full
+    tracked-IF chain runs once per frequency plan."""
+    cfg = get_config(request.param, sampling_freq=4.096e6, if_freq=7000.0,
                      acq_satellite_list=tuple(range(-3, 4)),
                      acq_search_band=2000.0, acq_search_step=250.0,
                      acq_non_coh_time=8, use_trop_corr=False)
-    sig = get_signal("glo_l1")
+    sig = get_signal(request.param)
     # (band is widened after the geometric Doppler is known below)
     tod0 = 41220.0 + 2.0              # receiver time-of-day at sample 0
     rx = np.asarray(geo2cart(40.0, -105.26, 1610.0, 5))

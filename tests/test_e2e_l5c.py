@@ -70,7 +70,12 @@ def e2e():
     scn = make_generic_scenario(
         cfg, sig, eph_factory=_cnav_eph, satpos_fn=sat_pos_cnav,
         nav_stream_fn=_nav_stream, frame_period_s=MSG_S,
-        n_svs=4, duration_s=26.0, cn0_dbhz=47.0,
+        # 50 dB-Hz: the coarse stage correlates the 1 ms primary only
+        # (GPS_L5C/include/acquisition.m), so NH10 transitions inside a
+        # window cost up to |1-2phi| of the peak; at the speed-reduced
+        # noncoh=10 (preset 25) a 47 dB-Hz SV can dip under the 4.5
+        # preset threshold depending on its code-phase/NH alignment
+        n_svs=4, duration_s=26.0, cn0_dbhz=50.0,
         prn_pool=range(1, 13))
     samples = quantize_iq_int8(
         synthesize_if(cfg, sig, scn.svs, num_ms=26_400, seed=11))
@@ -106,8 +111,12 @@ def test_cnav_decode_through_pipeline(e2e):
         truth = scn.eph_by_prn[res.track.prns[ch]]
         for k in ("e", "M_0", "omega_0", "i_0", "omega", "t_oe",
                   "deltaA", "a_f0"):
+            # deltaA is broadcast at ICD scale 2^-9 m — the decode can
+            # only be right to half that quantization step
+            q = 2.0 ** -9 if k == "deltaA" else 0.0
             assert eph[k] == pytest.approx(
-                truth[k], rel=1e-6, abs=abs(truth[k]) * 1e-6 + 1e-9), k
+                truth[k], rel=1e-6,
+                abs=abs(truth[k]) * 1e-6 + 1e-9 + q), k
         assert tow % MSG_S == 0
     assert decoded >= 4
 

@@ -45,9 +45,11 @@ CASES = {
     "glo_l2": dict(fs=4.096e6, prns=(0, 3), search=range(-2, 5),
                    epochs=200, overrides=dict(acq_non_coh_time=8)),
     # 10 ms coherent: 50 Hz bins (preset acqStep, BDS/B1C settings)
+    # acq_threshold matched to noncoh=2 (see tests/test_e2e_b1c.py):
+    # the noise-only weighted-joint GLRT max sits at ~2.6-2.9 there
     "bds_b1c": dict(fs=4.096e6, prns=(19, 23), search=range(17, 25),
                     epochs=40, band=500.0, dopplers=(120.0, -80.0),
-                    overrides=dict(acq_threshold=2.5, acq_non_coh_time=2,
+                    overrides=dict(acq_threshold=3.5, acq_non_coh_time=2,
                                    acq_search_step=50.0,
                                    fine_search_step=10.0)),
     "bds_b1i": dict(fs=4.096e6, prns=(6, 12), search=range(6, 14),
