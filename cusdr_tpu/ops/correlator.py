@@ -46,9 +46,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _rot_bb(bb_i, bb_q, rot: int):
+    """Quarter-turn carrier rotation applied to the baseband (commutes
+    with the real bilinear correlation; see _epoch_one_channel)."""
+    if rot == 0:
+        return bb_i, bb_q
+    if rot == 1:
+        return -bb_q, bb_i
+    if rot == 2:
+        return -bb_i, -bb_q
+    return bb_q, -bb_i
+
+
 def _correlate_block(si, sq, wt, wp, alpha, alpha_p, remc, shi, slo, bsz,
                      *, blk_pad: int, k: int, has_pilot: bool,
-                     pilot_rot: int):
+                     pilot_rot: int, wp2=None, pilot2_rot: int = 2,
+                     pilot_w1: float = 1.0, pilot_w2: float = 0.0):
     """Shared kernel body: correlator sums for one cb-channel block.
 
     si/sq: (cb, blk_pad) int8 sample windows; wt/wp: (cb, wlen) int8
@@ -105,22 +118,29 @@ def _correlate_block(si, sq, wt, wp, alpha, alpha_p, remc, shi, slo, bsz,
             s(late * bb_i), s(late * bb_q)]
     z = jnp.zeros((cb, 1), jnp.float32)
     if has_pilot:
-        pe, pp, plate = taps(wp, alpha_p)
         # pilot carrier at j^rot vs data: 1 = quadrature
         # (exp(-j(φ-π/2))·s = j·bb), 0 = time-multiplexed (L2C CL,
         # GPS_L2C/include/tracking.m:317-324), 2 = -I (B1C BOC(6,1),
         # WB_tracking.m:364-369), 3 = -Q
-        if pilot_rot == 0:
-            pb_i, pb_q = bb_i, bb_q
-        elif pilot_rot == 1:
-            pb_i, pb_q = -bb_q, bb_i
-        elif pilot_rot == 2:
-            pb_i, pb_q = -bb_i, -bb_q
-        else:
-            pb_i, pb_q = bb_q, -bb_i
-        cols += [s(pe * pb_i), s(pe * pb_q),
+        pe, pp, plate = taps(wp, alpha_p)
+        pb_i, pb_q = _rot_bb(bb_i, bb_q, pilot_rot)
+        pcols = [s(pe * pb_i), s(pe * pb_q),
                  s(pp * pb_i), s(pp * pb_q),
-                 s(plate * pb_i), s(plate * pb_q), z, z, z, z]
+                 s(plate * pb_i), s(plate * pb_q)]
+        if wp2 is not None:
+            # composite QMBOC dual bank: both banks rotated onto the
+            # in-phase axis and amplitude-combined IN-KERNEL
+            # (WB_tracking.m:364-369); the output layout stays the
+            # single-pilot [C, 16]
+            p2e, p2p, p2l = taps(wp2, alpha_p)
+            qb_i, qb_q = _rot_bb(bb_i, bb_q, pilot2_rot)
+            w1 = jnp.float32(pilot_w1)
+            w2 = jnp.float32(pilot_w2)
+            p2cols = [s(p2e * qb_i), s(p2e * qb_q),
+                      s(p2p * qb_i), s(p2p * qb_q),
+                      s(p2l * qb_i), s(p2l * qb_q)]
+            pcols = [w1 * a + w2 * b for a, b in zip(pcols, p2cols)]
+        cols += pcols + [z, z, z, z]
     else:
         cols += [z, z]
     return jnp.concatenate(cols, axis=1)
@@ -128,11 +148,17 @@ def _correlate_block(si, sq, wt, wp, alpha, alpha_p, remc, shi, slo, bsz,
 
 @functools.lru_cache(maxsize=64)
 def _build_call(blk_pad: int, wlen: int, k: int, has_pilot: bool,
-                pilot_rot: int, interpret: bool):
+                pilot_rot: int, interpret: bool,
+                has_pilot2: bool = False, pilot2_rot: int = 2,
+                pilot_w1: float = 1.0, pilot_w2: float = 0.0):
     n_out = 16 if has_pilot else 8
 
     def kernel(*refs):
-        if has_pilot:
+        wp2_r = None
+        if has_pilot2:
+            (alpha_r, alphap_r, remc_r, shi_r, slo_r, bsz_r,
+             si_r, sq_r, wt_r, wp_r, wp2_r, out_r) = refs
+        elif has_pilot:
             (alpha_r, alphap_r, remc_r, shi_r, slo_r, bsz_r,
              si_r, sq_r, wt_r, wp_r, out_r) = refs
         else:
@@ -145,7 +171,10 @@ def _build_call(blk_pad: int, wlen: int, k: int, has_pilot: bool,
             alpha_r[:], alphap_r[:] if has_pilot else None,
             remc_r[:], shi_r[:], slo_r[:], bsz_r[:],
             blk_pad=blk_pad, k=k, has_pilot=has_pilot,
-            pilot_rot=pilot_rot)
+            pilot_rot=pilot_rot,
+            wp2=wp2_r[:] if has_pilot2 else None,
+            pilot2_rot=pilot2_rot, pilot_w1=pilot_w1,
+            pilot_w2=pilot_w2)
 
     cb = CHANNEL_BLOCK
 
@@ -157,10 +186,16 @@ def _build_call(blk_pad: int, wlen: int, k: int, has_pilot: bool,
         return pl.BlockSpec((cb, w), lambda i: (i, i * 0),
                             memory_space=pltpu.VMEM)
 
-    def call(alpha, alpha_p, remc, shi, slo, bsz, si, sq, wt, wp=None):
+    def call(alpha, alpha_p, remc, shi, slo, bsz, si, sq, wt, wp=None,
+             wp2=None):
         c = si.shape[0]
         assert c % cb == 0, c
-        if has_pilot:
+        if has_pilot2:
+            in_specs = [vec()] * 6 + [mat(blk_pad), mat(blk_pad),
+                                      mat(wlen), mat(wlen), mat(wlen)]
+            args = [alpha, alpha_p, remc, shi, slo, bsz, si, sq, wt, wp,
+                    wp2]
+        elif has_pilot:
             in_specs = [vec()] * 6 + [mat(blk_pad), mat(blk_pad),
                                       mat(wlen), mat(wlen)]
             args = [alpha, alpha_p, remc, shi, slo, bsz, si, sq, wt, wp]
@@ -182,7 +217,9 @@ def _build_call(blk_pad: int, wlen: int, k: int, has_pilot: bool,
 
 
 def correlate_bank(alpha, remc, shi, slo, bsz, si, sq, wt, wp=None,
-                   *, k: int, alpha_p=None, pilot_rot: int = 1,
+                   wp2=None, *, k: int, alpha_p=None,
+                   pilot_rot: int = 1, pilot2_rot: int = 2,
+                   pilot_w1: float = 1.0, pilot_w2: float = 0.0,
                    interpret: bool = False):
     """Correlator sums for a channel bank (operands pre-staged in VMEM).
 
@@ -203,10 +240,12 @@ def correlate_bank(alpha, remc, shi, slo, bsz, si, sq, wt, wp=None,
     blk_pad = si.shape[1]
     wlen = wt.shape[1]
     call = _build_call(blk_pad, wlen, int(k), wp is not None,
-                       int(pilot_rot), bool(interpret))
+                       int(pilot_rot), bool(interpret),
+                       wp2 is not None, int(pilot2_rot),
+                       float(pilot_w1), float(pilot_w2))
     if alpha_p is None:
         alpha_p = alpha
-    return call(alpha, alpha_p, remc, shi, slo, bsz, si, sq, wt, wp)
+    return call(alpha, alpha_p, remc, shi, slo, bsz, si, sq, wt, wp, wp2)
 
 
 # --------------------------------------------------------------------------
@@ -266,7 +305,9 @@ def _rotate_flat(x, rt):
 
 def _correlate_rows(si, sq, wi, wpi, remc, shi, slo, rstart, bsz,
                     alpha, alpha_p, *, rows: int, k: int,
-                    has_pilot: bool, pilot_rot: int):
+                    has_pilot: bool, pilot_rot: int, wp2i=None,
+                    pilot2_rot: int = 2, pilot_w1: float = 1.0,
+                    pilot_w2: float = 0.0):
     """Correlator sums for ONE channel in (rows, 128) window layout.
 
     si/sq: (rows, 128) f32 sample window starting at the aligned offset;
@@ -310,17 +351,22 @@ def _correlate_rows(si, sq, wi, wpi, remc, shi, slo, rstart, bsz,
     if has_pilot:
         pe, pp, plate = taps(wpi, alpha_p)
         # pilot carrier at j^rot vs data (see _correlate_block)
-        if pilot_rot == 0:
-            pb_i, pb_q = bb_i, bb_q
-        elif pilot_rot == 1:
-            pb_i, pb_q = -bb_q, bb_i
-        elif pilot_rot == 2:
-            pb_i, pb_q = -bb_i, -bb_q
-        else:
-            pb_i, pb_q = bb_q, -bb_i
-        sums += [s(pe * pb_i), s(pe * pb_q),
+        pb_i, pb_q = _rot_bb(bb_i, bb_q, pilot_rot)
+        pcols = [s(pe * pb_i), s(pe * pb_q),
                  s(pp * pb_i), s(pp * pb_q),
                  s(plate * pb_i), s(plate * pb_q)]
+        if wp2i is not None:
+            # composite QMBOC dual bank combined in-kernel
+            # (WB_tracking.m:364-369; see _correlate_block)
+            p2e, p2p, p2l = taps(wp2i, alpha_p)
+            qb_i, qb_q = _rot_bb(bb_i, bb_q, pilot2_rot)
+            w1 = jnp.float32(pilot_w1)
+            w2 = jnp.float32(pilot_w2)
+            p2cols = [s(p2e * qb_i), s(p2e * qb_q),
+                      s(p2p * qb_i), s(p2p * qb_q),
+                      s(p2l * qb_i), s(p2l * qb_q)]
+            pcols = [w1 * a + w2 * b for a, b in zip(pcols, p2cols)]
+        sums += pcols
     return sums
 
 
@@ -344,18 +390,26 @@ def hbm_geometry(blk_pad: int, k: int):
 
 @functools.lru_cache(maxsize=64)
 def _build_call_hbm(blk_pad: int, k: int, has_pilot: bool,
-                    pilot_rot: int, interpret: bool):
+                    pilot_rot: int, interpret: bool,
+                    has_pilot2: bool = False, pilot2_rot: int = 2,
+                    pilot_w1: float = 1.0, pilot_w2: float = 0.0):
     assert blk_pad % 128 == 0
     assert 0 < k <= 63, k         # tap flat-shifts assume 2k+1 < 128
     n_out = 16 if has_pilot else 8
     cb = CHANNEL_BLOCK
-    n_dma = 4 if has_pilot else 3
+    n_dma = (5 if has_pilot2 else 4) if has_pilot else 3
     rows, tq_s, tq_w = hbm_geometry(blk_pad, k)
     r_in = 4 * tq_w               # rotate working rows
     n_pref = 13 if has_pilot else 10
 
     def kernel(*refs):
-        if has_pilot:
+        wp2_r = wp2_s = None
+        if has_pilot2:
+            (q_r, wrow_r, qt_r, rt_r, qp_r, rp_r,
+             alpha_r, alphap_r, remc_r, shi_r, slo_r, bsz_r, rst_r,
+             sig_i_r, sig_q_r, wt_r, wp_r, wp2_r, out_r,
+             si_s, sq_s, wt_s, wp_s, wp2_s, sem) = refs
+        elif has_pilot:
             (q_r, wrow_r, qt_r, rt_r, qp_r, rp_r,
              alpha_r, alphap_r, remc_r, shi_r, slo_r, bsz_r, rst_r,
              sig_i_r, sig_q_r, wt_r, wp_r, out_r,
@@ -393,6 +447,10 @@ def _build_call_hbm(blk_pad: int, k: int, has_pilot: bool,
                 out.append(pltpu.make_async_copy(
                     wp_r.at[wr, pl.ds(qpv, tq_w)],
                     wp_s.at[slot], sem.at[slot, jnp.int32(3)]))
+                if has_pilot2:
+                    out.append(pltpu.make_async_copy(
+                        wp2_r.at[wr, pl.ds(qpv, tq_w)],
+                        wp2_s.at[slot], sem.at[slot, jnp.int32(4)]))
             return out
 
         for d in chan_dmas(0):
@@ -413,18 +471,24 @@ def _build_call_hbm(blk_pad: int, k: int, has_pilot: bool,
             rt = rt_r[row].astype(jnp.int32)
             w = wt_s[slot].reshape(r_in, 128).astype(jnp.float32)
             wi = _rotate_flat(w, rt)
-            wpi = None
+            wpi = wp2i = None
             if has_pilot:
                 rp = rp_r[row].astype(jnp.int32)
                 wp_buf = wp_s[slot].reshape(r_in, 128).astype(
                     jnp.float32)
                 wpi = _rotate_flat(wp_buf, rp)
+            if has_pilot2:
+                wp2_buf = wp2_s[slot].reshape(r_in, 128).astype(
+                    jnp.float32)
+                wp2i = _rotate_flat(wp2_buf, rp)
             sums = _correlate_rows(
                 si, sq, wi, wpi,
                 remc_r[row], shi_r[row], slo_r[row], rst_r[row],
                 bsz_r[row], alpha_r[row],
                 alphap_r[row] if has_pilot else None,
-                rows=rows, k=k, has_pilot=has_pilot, pilot_rot=pilot_rot)
+                rows=rows, k=k, has_pilot=has_pilot, pilot_rot=pilot_rot,
+                wp2i=wp2i, pilot2_rot=pilot2_rot,
+                pilot_w1=pilot_w1, pilot_w2=pilot_w2)
             sums = sums + [jnp.float32(0.0)] * (n_out - len(sums))
             vals = jnp.concatenate([v.reshape(1, 1) for v in sums],
                                    axis=1)
@@ -433,10 +497,10 @@ def _build_call_hbm(blk_pad: int, k: int, has_pilot: bool,
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
 
     def call(q, wrow, qt, rt, qp, rp, alpha, alpha_p, remc, shi, slo,
-             bsz, rstart, sig_i3, sig_q3, wt4, wp4=None):
+             bsz, rstart, sig_i3, sig_q3, wt4, wp4=None, wp24=None):
         c = q.shape[0]
         assert c % cb == 0, c
-        in_specs = [hbm] * (4 if has_pilot else 3)
+        in_specs = [hbm] * (2 + n_dma - 2)
         scratch = [pltpu.VMEM((2, tq_s, 4, 128), jnp.int8),
                    pltpu.VMEM((2, tq_s, 4, 128), jnp.int8),
                    pltpu.VMEM((2, tq_w, 4, 128), jnp.int8)]
@@ -445,6 +509,9 @@ def _build_call_hbm(blk_pad: int, k: int, has_pilot: bool,
             pref = [q, wrow, qt, rt, qp, rp,
                     alpha, alpha_p, remc, shi, slo, bsz, rstart]
             args = [sig_i3, sig_q3, wt4, wp4]
+            if has_pilot2:
+                scratch.append(pltpu.VMEM((2, tq_w, 4, 128), jnp.int8))
+                args.append(wp24)
         else:
             pref = [q, wrow, qt, rt,
                     alpha, remc, shi, slo, bsz, rstart]
@@ -469,9 +536,11 @@ def _build_call_hbm(blk_pad: int, k: int, has_pilot: bool,
 
 
 def correlate_bank_hbm(q, wrow, qt, rt, alpha, remc, shi, slo, bsz,
-                       rstart, sig_i3, sig_q3, wt4, wp4=None, *, k: int,
-                       blk_pad: int, qp=None, rp=None, alpha_p=None,
-                       pilot_rot: int = 1, interpret: bool = False):
+                       rstart, sig_i3, sig_q3, wt4, wp4=None, wp24=None,
+                       *, k: int, blk_pad: int, qp=None, rp=None,
+                       alpha_p=None, pilot_rot: int = 1,
+                       pilot2_rot: int = 2, pilot_w1: float = 1.0,
+                       pilot_w2: float = 0.0, interpret: bool = False):
     """Correlator sums with in-kernel aligned window fetch from HBM.
 
     q: [C] i32 record row (ALIGN=512-sample unit) of each channel's
@@ -492,10 +561,12 @@ def correlate_bank_hbm(q, wrow, qt, rt, alpha, remc, shi, slo, bsz,
     Reference semantics: GPS/GPS_L1CA/include/tracking.m:280-300.
     """
     call = _build_call_hbm(int(blk_pad), int(k), wp4 is not None,
-                           int(pilot_rot), bool(interpret))
+                           int(pilot_rot), bool(interpret),
+                           wp24 is not None, int(pilot2_rot),
+                           float(pilot_w1), float(pilot_w2))
     if alpha_p is None:
         alpha_p = alpha
     if qp is None:
         qp, rp = qt, rt
     return call(q, wrow, qt, rt, qp, rp, alpha, alpha_p, remc, shi, slo,
-                bsz, rstart, sig_i3, sig_q3, wt4, wp4)
+                bsz, rstart, sig_i3, sig_q3, wt4, wp4, wp24)

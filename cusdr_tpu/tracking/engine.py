@@ -562,17 +562,24 @@ def _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start, end_sample,
 
         qt, rt = table_off(start, code_tables.shape[1])
         qp = rp = None
-        wp_tab = None
+        wp_tab = wp2_tab = None
         if p.has_pilot:
-            qp, rp = table_off(pstart, pilot_tables.shape[1])
-            wp_tab = pilot_tables
+            if p.has_pilot2:
+                # dual QMBOC bank: (C, 2, TQ, 4, 128) tables, both banks
+                # windowed at the same offsets (same sample grid)
+                wp_tab = pilot_tables[:, 0]
+                wp2_tab = pilot_tables[:, 1]
+            else:
+                wp_tab = pilot_tables
+            qp, rp = table_off(pstart, wp_tab.shape[1])
         f32 = lambda x: x.astype(jnp.float32)
         out = correlate_bank_hbm(
             q, wrow, qt, rt, alpha, remc, shi, slo,
             f32(blksize), f32(r), sig_i_all, sig_q_all,
-            code_tables, wp_tab, k=k, blk_pad=blk_pad,
+            code_tables, wp_tab, wp2_tab, k=k, blk_pad=blk_pad,
             qp=qp, rp=rp, alpha_p=palpha, pilot_rot=p.pilot_rot,
-            interpret=p.pallas_interpret)
+            pilot2_rot=p.pilot2_rot, pilot_w1=p.pilot_w1,
+            pilot_w2=p.pilot_w2, interpret=p.pallas_interpret)
     else:
         si = jax.vmap(lambda o: jax.lax.dynamic_slice(
             sig_i_all, (o,), (blk_pad,)))(off)
@@ -580,14 +587,21 @@ def _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start, end_sample,
             sig_q_all, (o,), (blk_pad,)))(off)
         wt = jax.vmap(lambda t, s0: jax.lax.dynamic_slice(
             t, (s0,), (wlen,)))(code_tables, start)
-        wp = None
+        wp = wp2 = None
         if p.has_pilot:
-            wp = jax.vmap(lambda t, s0: jax.lax.dynamic_slice(
-                t, (s0,), (wlen,)))(pilot_tables, pstart)
+            slc = jax.vmap(lambda t, s0: jax.lax.dynamic_slice(
+                t, (s0,), (wlen,)))
+            if p.has_pilot2:
+                wp = slc(pilot_tables[:, 0], pstart)
+                wp2 = slc(pilot_tables[:, 1], pstart)
+            else:
+                wp = slc(pilot_tables, pstart)
         out = correlate_bank(col(alpha), col(remc), col(shi), col(slo),
                              col(blksize.astype(jnp.float32)),
-                             si, sq, wt, wp, alpha_p=col(palpha), k=k,
-                             pilot_rot=p.pilot_rot,
+                             si, sq, wt, wp, wp2, alpha_p=col(palpha),
+                             k=k, pilot_rot=p.pilot_rot,
+                             pilot2_rot=p.pilot2_rot,
+                             pilot_w1=p.pilot_w1, pilot_w2=p.pilot_w2,
                              interpret=p.pallas_interpret)
     i_e, q_e, i_p, q_p, i_l, q_l = (out[:, j] for j in range(6))
     if p.has_pilot:
@@ -872,10 +886,8 @@ def make_track_params(cfg, sig: SignalDef) -> TrackParams:
     has_pilot = cfg.pilot_trk_flag > 0 and sig.pilot_code is not None
     return TrackParams(
         fast_code=fast, k_spacing=max(int(round(k_nominal)), 1),
-        # the fused Pallas bank handles one pilot table; the dual-bank
-        # WB composite runs on the XLA path
-        use_pallas=bool(use_pallas and fast and not has_pilot2),
-        fetch_in_kernel=bool(use_pallas and fast and not has_pilot2),
+        use_pallas=bool(use_pallas and fast),
+        fetch_in_kernel=bool(use_pallas and fast),
         # table front margin must cover the in-kernel fetch's 512-sample
         # alignment residual plus the E-tap lead (ops/correlator.py v2)
         up_margin=1024,

@@ -21,11 +21,15 @@ from cusdr_tpu.tracking.engine import (build_replica_tables,
     ("gal_e5a", 12.288e6, True, False),
     ("gps_l1ca", 2.048e6, False, True),
     ("gal_e5a", 12.288e6, True, True),
+    # WB QMBOC dual pilot bank (B1C, pilot_trk_flag=2) — the composite
+    # -sqrt(4/33)p61 - j sqrt(29/33)p11 combine runs IN-KERNEL
+    ("bds_b1c", 16.368e6, 2, False),
+    ("bds_b1c", 16.368e6, 2, True),
 ])
 def test_pallas_matches_xla(signal, fs, has_pilot, fetch_in_kernel):
     cfg = get_config(signal, sampling_freq=fs, if_freq=7000.0)
     if has_pilot:
-        cfg = cfg.replace(pilot_trk_flag=1)
+        cfg = cfg.replace(pilot_trk_flag=int(has_pilot))
     sig = get_signal(signal)
     params = make_track_params(cfg, sig)
     if not params.fast_code:
@@ -68,12 +72,14 @@ def test_pallas_matches_xla(signal, fs, has_pilot, fetch_in_kernel):
             name, np.abs(a - b).max(), scale)
     # loop state converges identically to f32 rounding of the correlators
     # (the in-kernel-fetch path evaluates the carrier from a shifted
-    # origin — remc' = remc - inc*r — so its f32 rounding differs by a
-    # few ulp per epoch; 1e-5 rad over 12 epochs is that rounding class)
+    # origin — remc' = remc - inc*r — and the dual-bank kernel combines
+    # the QMBOC banks in a different f32 summation order, so states
+    # differ by a few correlator ulps per epoch through the loop gains;
+    # 1e-4 rad over 12 epochs is that rounding class, ~1.6e-5 cycles)
     for name in ("carr_freq", "code_freq", "rem_code_phase",
                  "rem_carr_phase"):
         a = np.asarray(getattr(st_x, name))
         b = np.asarray(getattr(st_p, name))
-        assert np.allclose(a, b, rtol=1e-6, atol=1e-5), (name, a, b)
+        assert np.allclose(a, b, rtol=1e-6, atol=1e-4), (name, a, b)
     assert np.array_equal(np.asarray(st_x.abs_sample),
                           np.asarray(st_p.abs_sample))
