@@ -132,6 +132,96 @@ def _track_blocks_flat(samples_iq, code_tables, pilot_tables,
     return st, outs
 
 
+
+def _track_blocks_shardmap(mesh, sb_np, sb_start_np, sb_end_np,
+                           code_tables, pilot_tables,
+                           states0_np, params: TrackParams,
+                           n_epochs: int, handoff_iters: int,
+                           blk_len: int):
+    """Sharded time-block tracking via shard_map: each 'tb' shard runs
+    its local blocks as ONE flat B_loc*C-row bank over a per-shard
+    pseudo-record (its block buffers concatenated), exactly like the
+    single-device flat path.
+
+    Replaces the vmapped per-block program of earlier rounds, which
+    (a) could not use the in-kernel HBM window fetch (manual-DMA Pallas
+    kernels are not vmappable) and (b) compiled the block body B times
+    (~14 min at B=40 on v5e).  Inside shard_map the body is unvmapped,
+    so the fused kernel's DMA path works per shard and the program
+    compiles once.
+
+    Block b of a shard's local buffer lives at pseudo-record offset
+    b*blk_len; channel offsets are remapped by adjusting abs_sample
+    (and unmapped on the way out).  The ring handoff between passes
+    stays a global (cross-shard) concatenate outside the shard_map.
+    """
+    import dataclasses
+    from functools import partial
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ch_ax = "ch" if "ch" in mesh.axis_names else None
+    state_spec = jax.tree.map(
+        lambda x: P(*(("tb", ch_ax) + (None,) * (x.ndim - 2))),
+        states0_np)
+    tab_spec = P(*((ch_ax,) + (None,) * (code_tables.ndim - 1)))
+    n_tb = mesh.shape["tb"]
+
+    # within a shard the fetch path works; vmap is gone
+    p_loc = params
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("tb", None), P("tb"), P("tb"), tab_spec,
+                       tab_spec, state_spec),
+             out_specs=(state_spec, P("tb", None, ch_ax)),
+             check_rep=False)
+    def body(sb, sb_start, sb_end, ct, pt, st):
+        b_loc, two_blk = sb.shape
+        c_loc = st.carr_freq.shape[1]
+        rec = sb.reshape(b_loc * two_blk)
+        # pseudo-record offset of each local block
+        offs = sb_start - jnp.arange(b_loc, dtype=jnp.int64) * blk_len
+        st = st._replace(abs_sample=st.abs_sample - offs[:, None])
+        end_rows = jnp.broadcast_to((sb_end - offs)[:, None],
+                                    (b_loc, c_loc))
+        flat = jax.tree.map(
+            lambda x: x.reshape((b_loc * c_loc,) + x.shape[2:]), st)
+        stf, outs = track_superblock(rec, jnp.int64(0), ct, pt, flat,
+                                     p_loc, n_epochs,
+                                     end_rows.reshape(-1))
+        stf = jax.tree.map(
+            lambda x: x.reshape((b_loc, c_loc) + x.shape[1:]), stf)
+        stf = stf._replace(abs_sample=stf.abs_sample + offs[:, None])
+        outs = jax.tree.map(
+            lambda x: jnp.transpose(
+                x.reshape(x.shape[0], b_loc, c_loc), (1, 0, 2)), outs)
+        outs = outs._replace(
+            abs_sample=outs.abs_sample + offs[:, None, None])
+        return stf, outs
+
+    sh = lambda x, spec: _put(x, mesh, spec)
+    sb_d = sh(sb_np, P("tb", None))
+    starts_d = sh(sb_start_np, P("tb"))
+    ends_d = sh(sb_end_np, P("tb"))
+    ct_d = sh(np.asarray(code_tables), tab_spec)
+    pt_d = sh(np.asarray(pilot_tables), tab_spec)
+    # NOTE: PartitionSpec is a tuple subclass, so a pytree of specs
+    # cannot ride through jax.tree.map alongside the state tree —
+    # rebuild each leaf's spec from its rank instead
+    states0 = jax.tree.map(
+        lambda x: sh(np.asarray(x),
+                     P(*(("tb", ch_ax) + (None,) * (x.ndim - 2)))),
+        states0_np)
+
+    states = states0
+    outs = None
+    for it in range(handoff_iters + 1):
+        final, outs = body(sb_d, starts_d, ends_d, ct_d, pt_d, states)
+        if it < handoff_iters:
+            states = _ring_shift(states0, final)
+    return states, final, outs
+
+
 def predict_block_states(channels: Sequence, cfg, sig: SignalDef,
                          n_blocks: int, epochs_per_block: int):
     """Open-loop state prediction for each block start.
@@ -254,28 +344,21 @@ def track_time_parallel(cfg, sig: SignalDef, samples_iq: np.ndarray,
                        handoff_iters, settle_epochs, states, final,
                        outs, mesh)
 
+    if mesh is not None:
+        # sharded path: shard_map over 'tb' — each shard runs its local
+        # blocks as one flat bank over a per-shard pseudo-record (the
+        # vmapped per-block program of earlier rounds compiled the body
+        # B times and excluded the in-kernel window fetch)
+        states, final, outs = _track_blocks_shardmap(
+            mesh, sb, sb_start, sb_end, ctabs, ptabs, states, params,
+            epochs_per_block, handoff_iters, blk_len)
+        return _stitch(cfg, sig, channels, n_blocks, epochs_per_block,
+                       handoff_iters, settle_epochs, states, final,
+                       outs, mesh)
+
     sb_d = jnp.asarray(sb)
     starts_d = jnp.asarray(sb_start)
     ends_d = jnp.asarray(sb_end)
-    if mesh is not None:
-        # mesh axes: 'tb' shards the block axis; an optional 'ch' axis
-        # (2-D mesh, possibly spanning hosts) additionally shards the
-        # channel axis of the state/table leaves
-        from jax.sharding import PartitionSpec as P
-        ch_ax = "ch" if "ch" in mesh.axis_names else None
-        sb_d = _put(sb_d, mesh, P("tb", None))
-        starts_d = _put(starts_d, mesh, P("tb"))
-        ends_d = _put(ends_d, mesh, P("tb"))
-        states = jax.tree.map(
-            lambda x: _put(x, mesh, P(*(("tb", ch_ax)
-                                        + (None,) * (x.ndim - 2)))),
-            states)
-        states0 = states
-        ct_d = _put(ct_d, mesh,
-                    P(*((ch_ax,) + (None,) * (ct_d.ndim - 1))))
-        pt_d = _put(pt_d, mesh,
-                    P(*((ch_ax,) + (None,) * (pt_d.ndim - 1))))
-
     outs = None
     for it in range(handoff_iters + 1):
         final, outs = _track_blocks(sb_d, starts_d, ends_d, ct_d, pt_d,
