@@ -494,7 +494,7 @@ def _build_call_hbm(blk_pad: int, k: int, has_pilot: bool,
                                    axis=1)
             out_r[pl.ds(c, 1), :] = vals
 
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
 
     def call(q, wrow, qt, rt, qp, rp, alpha, alpha_p, remc, shi, slo,
              bsz, rstart, sig_i3, sig_q3, wt4, wp4=None, wp24=None):

@@ -88,8 +88,9 @@ def _track_blocks(samples_blocks, block_starts, block_ends, code_tables,
                   params: TrackParams, n_epochs: int):
     """vmap of track_superblock over the block axis.
 
-    samples_blocks: [B, 2*S_blk] int8; block_starts/block_ends: [B] i64
-    (absolute sample range of each block's buffer); states: leaves [B, C].
+    samples_blocks: [B, S_blk] int16 (I low byte / Q high byte) or
+    [B, 2*S_blk] int8; block_starts/block_ends: [B] i64 (absolute sample
+    range of each block's buffer); states: leaves [B, C].
     """
     import dataclasses
     # vmapping a manual-DMA pallas kernel is unsupported; the vmapped
@@ -116,7 +117,8 @@ def _track_blocks_flat(samples_iq, code_tables, pilot_tables,
     no per-block sample buffers are materialized.  Requires the Pallas
     fetch path (replica tables are shared across blocks by row modulo).
 
-    samples_iq: [2S] int8 full record; states leaves [B, C].
+    samples_iq: [S] int16 (preferred) or [2S] int8 full record; states
+    leaves [B, C].
     Returns (states [B, C], outputs [B, n_epochs, C]).
     """
     B = n_blocks
@@ -155,9 +157,8 @@ def _track_blocks_shardmap(mesh, sb_np, sb_start_np, sb_end_np,
     (and unmapped on the way out).  The ring handoff between passes
     stays a global (cross-shard) concatenate outside the shard_map.
     """
-    import dataclasses
     from functools import partial
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     ch_ax = "ch" if "ch" in mesh.axis_names else None
@@ -165,20 +166,25 @@ def _track_blocks_shardmap(mesh, sb_np, sb_start_np, sb_end_np,
         lambda x: P(*(("tb", ch_ax) + (None,) * (x.ndim - 2))),
         states0_np)
     tab_spec = P(*((ch_ax,) + (None,) * (code_tables.ndim - 1)))
-    n_tb = mesh.shape["tb"]
-
-    # within a shard the fetch path works; vmap is gone
-    p_loc = params
+    # NOTE: unlike _track_blocks, this path deliberately KEEPS
+    # params.fetch_in_kernel — inside shard_map the body is unvmapped,
+    # so the manual-DMA Pallas fetch is legal per shard.
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P("tb", None), P("tb"), P("tb"), tab_spec,
                        tab_spec, state_spec),
              out_specs=(state_spec, P("tb", None, ch_ax)),
-             check_rep=False)
+             check_vma=False)
     def body(sb, sb_start, sb_end, ct, pt, st):
-        b_loc, two_blk = sb.shape
+        b_loc, blk16 = sb.shape                # int16: 1 elem == 1 sample
         c_loc = st.carr_freq.shape[1]
-        rec = sb.reshape(b_loc * two_blk)
+        rec = sb.reshape(b_loc * blk16)
+        if not (params.use_pallas and params.fast_code):
+            # XLA fallback vmaps rows against tables 1:1 — tile the
+            # c_loc-row tables to the b_loc*c_loc flat rows (the Pallas
+            # fetch path instead shares tables by row modulo)
+            ct = jnp.tile(ct, (b_loc,) + (1,) * (ct.ndim - 1))
+            pt = jnp.tile(pt, (b_loc,) + (1,) * (pt.ndim - 1))
         # pseudo-record offset of each local block
         offs = sb_start - jnp.arange(b_loc, dtype=jnp.int64) * blk_len
         st = st._replace(abs_sample=st.abs_sample - offs[:, None])
@@ -187,7 +193,7 @@ def _track_blocks_shardmap(mesh, sb_np, sb_start_np, sb_end_np,
         flat = jax.tree.map(
             lambda x: x.reshape((b_loc * c_loc,) + x.shape[2:]), st)
         stf, outs = track_superblock(rec, jnp.int64(0), ct, pt, flat,
-                                     p_loc, n_epochs,
+                                     params, n_epochs,
                                      end_rows.reshape(-1))
         stf = jax.tree.map(
             lambda x: x.reshape((b_loc, c_loc) + x.shape[1:]), stf)
@@ -299,13 +305,15 @@ def track_time_parallel(cfg, sig: SignalDef, samples_iq: np.ndarray,
     # per-block sample buffers
     use_flat = (mesh is None and params.use_pallas
                 and params.fetch_in_kernel)
+    samples_iq = np.ascontiguousarray(np.asarray(samples_iq, np.int8))
+    samples_i16 = samples_iq.view(np.int16)   # free host deinterleave
     total = len(samples_iq) // 2
     if not use_flat:
         # per-block sample windows: one code period of FRONT margin
         # (handoff may move a block's start slightly before its
         # predicted start) and tail margin
         blk_len = (epochs_per_block + 4) * spc + params.blk + 256
-        sb = np.zeros((n_blocks, 2 * blk_len), np.int8)
+        sb = np.zeros((n_blocks, blk_len), np.int16)
         sb_start = np.zeros(n_blocks, np.int64)
         sb_end = np.zeros(n_blocks, np.int64)
         for b in range(n_blocks):
@@ -313,7 +321,7 @@ def track_time_parallel(cfg, sig: SignalDef, samples_iq: np.ndarray,
             s1 = min(s0 + blk_len, total)
             sb_start[b] = s0
             sb_end[b] = s1
-            sb[b, :2 * (s1 - s0)] = samples_iq[2 * s0:2 * s1]
+            sb[b, :s1 - s0] = samples_i16[s0:s1]
 
     if_offsets0 = np.zeros(len(channels))
     if sig.fdma:
@@ -332,7 +340,7 @@ def track_time_parallel(cfg, sig: SignalDef, samples_iq: np.ndarray,
     states = states0
     ct_d, pt_d = jnp.asarray(ctabs), jnp.asarray(ptabs)
     if use_flat:
-        samples_d = jnp.asarray(samples_iq)
+        samples_d = jnp.asarray(samples_i16)
         outs = None
         for it in range(handoff_iters + 1):
             final, outs = _track_blocks_flat(samples_d, ct_d, pt_d,

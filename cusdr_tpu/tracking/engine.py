@@ -217,10 +217,20 @@ def _epoch_one_channel(samples_iq, sb_start, end_sample, code_table,
     blksize = jnp.minimum(blksize, p.blk)
 
     # ---- fetch raw samples (tracking.m:226-236) ---------------------------
-    off = 2 * (st.abs_sample - sb_start)
-    raw = jax.lax.dynamic_slice(samples_iq, (off,), (2 * p.blk,))
-    sig_i = raw[0::2].astype(jnp.float32)
-    sig_q = raw[1::2].astype(jnp.float32)
+    # int16 layout: one sample per element, I in the low byte and Q in the
+    # high byte (the free host-side numpy .view(int16) of interleaved int8
+    # I/Q) — avoids any [S, 2]-shaped intermediate on device (a 2-wide
+    # minor dim is tile-padded 64x on TPU, ADVICE.md r4 #2)
+    if samples_iq.dtype == jnp.int16:
+        raw16 = jax.lax.dynamic_slice(
+            samples_iq, (st.abs_sample - sb_start,), (p.blk,))
+        sig_i = raw16.astype(jnp.int8).astype(jnp.float32)
+        sig_q = (raw16 >> 8).astype(jnp.int8).astype(jnp.float32)
+    else:
+        off = 2 * (st.abs_sample - sb_start)
+        raw = jax.lax.dynamic_slice(samples_iq, (off,), (2 * p.blk,))
+        sig_i = raw[0::2].astype(jnp.float32)
+        sig_q = raw[1::2].astype(jnp.float32)
 
     n = jnp.arange(p.blk, dtype=jnp.float32)
     mask = n < blksize.astype(jnp.float32)
@@ -503,8 +513,6 @@ def _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start, end_sample,
                        / code_phase_step).astype(jnp.int32)
     blksize = jnp.minimum(blksize, p.blk)
 
-    off = (st.abs_sample - sb_start).astype(jnp.int32)
-
     shift_f = st.rem_code_phase / code_phase_step
     shift = jnp.floor(shift_f).astype(jnp.int32)
     alpha = (shift_f - jnp.floor(shift_f)).astype(jnp.float32)
@@ -540,7 +548,7 @@ def _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start, end_sample,
         # parallel path spans the whole record with sb_start=0).
         from ..ops.correlator import hbm_geometry, ALIGN
         rows_g, tq_s, tq_w = hbm_geometry(blk_pad, k)
-        n_rows = off.shape[0]
+        n_rows = st.abs_sample.shape[0]
         n_tab = code_tables.shape[0]
         off64 = st.abs_sample - sb_start
         q_max = sig_i_all.shape[0] - tq_s
@@ -581,6 +589,10 @@ def _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start, end_sample,
             pilot2_rot=p.pilot2_rot, pilot_w1=p.pilot_w1,
             pilot_w2=p.pilot_w2, interpret=p.pallas_interpret)
     else:
+        # i64 window offsets: the flat time-parallel path spans the whole
+        # record with sb_start=0, so int32 would overflow past ~115 s at
+        # 18.6 Msps (ADVICE.md r3 #1)
+        off = st.abs_sample - sb_start
         si = jax.vmap(lambda o: jax.lax.dynamic_slice(
             sig_i_all, (o,), (blk_pad,)))(off)
         sq = jax.vmap(lambda o: jax.lax.dynamic_slice(
@@ -621,16 +633,26 @@ def track_superblock(samples_iq, sb_start, code_tables, pilot_tables,
                      n_epochs: int, end_sample=None):
     """Track all channels through ``n_epochs`` code periods.
 
-    samples_iq: [2S] int8 interleaved I/Q superblock on device
+    samples_iq: superblock on device — [2S] int8 interleaved I/Q, or
+    [S] int16 with I in the low byte / Q in the high byte (the free
+    host-side ``np.int8_array.view(np.int16)``; preferred — the int8
+    form pays a device-side bitcast whose [S, 2] intermediate is
+    tile-padded on TPU)
     sb_start:   absolute sample index of samples_iq[0]
     code_tables/pilot_tables: [C, E] int8 element tables
     end_sample: absolute end of the record (channels whose next window
-    crosses it freeze, tracking.m:241-245); default = end of superblock
+    crosses it freeze, tracking.m:241-245) — scalar or per-channel [C]
+    (the sharded time-block path tracks blocks with different buffer
+    ends in one flat bank); default = end of superblock
     Returns (new_state, TrackOutputs with [n_epochs, C] leaves).
     """
     n_ch = state.carr_freq.shape[0]
+    n_total = (samples_iq.shape[0] if samples_iq.dtype == jnp.int16
+               else samples_iq.shape[0] // 2)
     if end_sample is None:
-        end_sample = sb_start + samples_iq.shape[0] // 2
+        end_sample = sb_start + n_total
+    end_sample = jnp.broadcast_to(
+        jnp.asarray(end_sample, jnp.int64), (n_ch,))
     use_pallas = params.use_pallas and params.fast_code
     pad = 0
     if use_pallas:
@@ -640,6 +662,8 @@ def track_superblock(samples_iq, sb_start, code_tables, pilot_tables,
             # edge-replicate dummy channels; their work is discarded
             state = jax.tree.map(
                 lambda x: jnp.concatenate([x] + [x[-1:]] * pad), state)
+            end_sample = jnp.concatenate(
+                [end_sample] + [end_sample[-1:]] * pad)
             if code_tables.shape[0] == n_ch:
                 # flat time-parallel rows share tables by row modulo
                 # (fetch_in_kernel) — only tile when rows == tables
@@ -647,13 +671,18 @@ def track_superblock(samples_iq, sb_start, code_tables, pilot_tables,
                     [code_tables] + [code_tables[-1:]] * pad)
                 pilot_tables = jnp.concatenate(
                     [pilot_tables] + [pilot_tables[-1:]] * pad)
-        # deinterleave via int16 bitcast + shifts: the natural [0::2]
-        # strided slice lowers to a gather that costs ~0.65 s on a 2 s
-        # 18 Msps record (measured on v5e); the bitcast form runs at
-        # full HBM bandwidth.  I is the low byte (little-endian), Q the
-        # high byte; int8 truncation keeps exactly that byte.
-        v16 = jax.lax.bitcast_convert_type(
-            samples_iq.reshape(-1, 2), jnp.int16)
+        if samples_iq.dtype == jnp.int16:
+            v16 = samples_iq
+        else:
+            # deinterleave via int16 bitcast + shifts: the natural [0::2]
+            # strided slice lowers to a gather that costs ~0.65 s on a 2 s
+            # 18 Msps record (measured on v5e).  I is the low byte
+            # (little-endian), Q the high byte; int8 truncation keeps
+            # exactly that byte.  NOTE the [S, 2] intermediate is tile-
+            # padded 64x on TPU — callers with multi-GB records must pass
+            # int16 (host .view) instead.
+            v16 = jax.lax.bitcast_convert_type(
+                samples_iq.reshape(-1, 2), jnp.int16)
         sig_i_all = v16.astype(jnp.int8)
         sig_q_all = (v16 >> 8).astype(jnp.int8)
         if params.fetch_in_kernel:
@@ -684,7 +713,7 @@ def track_superblock(samples_iq, sb_start, code_tables, pilot_tables,
                                       pilot_tables, st, params)
     else:
         vm = jax.vmap(_epoch_one_channel,
-                      in_axes=(None, None, None, 0, 0, 0, None),
+                      in_axes=(None, None, 0, 0, 0, 0, None),
                       out_axes=(0, (1, 1, 1)))
 
         def step(st, _):
@@ -924,6 +953,8 @@ def track(cfg, sig: SignalDef, samples_iq: np.ndarray,
     """
     params = make_track_params(cfg, sig)
     spc = cfg.samples_per_code
+    samples_iq = np.ascontiguousarray(np.asarray(samples_iq, np.int8))
+    samples_i16 = samples_iq.view(np.int16)   # free host-side deinterleave
     total_samples = len(samples_iq) // 2
     max_phase = max(ch[2] for ch in channels)
     if n_epochs is None:
@@ -963,7 +994,7 @@ def track(cfg, sig: SignalDef, samples_iq: np.ndarray,
         sb_len = (max_phase - sb_start + (cur + 3) * spc + params.blk
                   + 256)
         sb_len = min(sb_len, total_samples - sb_start)
-        sb = jnp.asarray(samples_iq[2 * sb_start:2 * (sb_start + sb_len)])
+        sb = jnp.asarray(samples_i16[sb_start:sb_start + sb_len])
         state, outs = track_superblock(
             sb, jnp.int64(sb_start), ctabs_d, ptabs_d, state, params,
             cur, end_sample)

@@ -95,3 +95,60 @@ def test_absolute_sample_advances_one_code_period(tracked):
     ds = np.diff(res.abs_sample[0])
     spc = cfg.samples_per_code
     assert np.all(np.abs(ds - spc) <= 2)
+
+
+def test_offsets_past_int32_range():
+    """Long-record correctness: sample offsets past 2**31 (a >115 s
+    record at 18.6 Msps) must not wrap — the engine carries abs_sample
+    as int64 and every window-offset computation must stay 64-bit
+    (ADVICE r3 #1).  Same scene tracked at sb_start=0 and at
+    sb_start=2**31+1e6 must produce identical correlators on all three
+    paths (XLA, Pallas VMEM-staged, Pallas in-kernel HBM fetch)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from cusdr_tpu.tracking.engine import (build_replica_tables,
+                                           init_channel_state,
+                                           make_track_params,
+                                           track_superblock)
+
+    cfg = get_config("gps_l1ca", sampling_freq=2.048e6, if_freq=7000.0)
+    sig = get_signal("gps_l1ca")
+    params = make_track_params(cfg, sig)
+    rng = np.random.default_rng(2)
+    n_epochs = 6
+    spc = cfg.samples_per_code
+    samples = rng.integers(-16, 16,
+                           2 * (n_epochs + 4) * spc).astype(np.int8)
+    chans = [(7, 8500.0, 500), (9, 6000.0, 77)]
+    dops = [c[1] - cfg.if_freq for c in chans]
+    ct, pt = build_replica_tables(cfg, sig, params, chans, dops)
+    state0 = init_channel_state(chans, sig.chip_rate_hz, dopplers=dops,
+                                carrier_freq_hz=sig.carrier_freq_hz)
+    big = np.int64(2 ** 31 + 1_000_000)
+    state_big = state0._replace(abs_sample=state0.abs_sample + big)
+    sd = jnp.asarray(samples.view(np.int16))
+    ctd, ptd = jnp.asarray(ct), jnp.asarray(pt)
+
+    variants = {
+        "xla": params,
+        "vmem": dataclasses.replace(params, use_pallas=True,
+                                    fetch_in_kernel=False,
+                                    pallas_interpret=True),
+        "hbm": dataclasses.replace(params, use_pallas=True,
+                                   fetch_in_kernel=True,
+                                   pallas_interpret=True),
+    }
+    for name, p in variants.items():
+        ref_st, ref = track_superblock(sd, jnp.int64(0), ctd, ptd,
+                                       state0, p, n_epochs)
+        st, out = track_superblock(sd, jnp.int64(big), ctd, ptd,
+                                   state_big, p, n_epochs)
+        assert (np.asarray(out.blksize) > 0).all(), name
+        np.testing.assert_allclose(np.asarray(out.i_p),
+                                   np.asarray(ref.i_p),
+                                   rtol=1e-6, atol=1e-4,
+                                   err_msg=name)
+        np.testing.assert_array_equal(np.asarray(st.abs_sample) - big,
+                                      np.asarray(ref_st.abs_sample))

@@ -30,8 +30,9 @@ def _require_tpu():
 
 
 @pytest.mark.parametrize("signal,fs,pilot", [
-    ("gps_l1ca", 18e6, False),
-    ("gal_e5a", 18e6, True),
+    ("gps_l1ca", 18e6, 0),
+    ("gal_e5a", 18e6, 1),
+    ("bds_b1c", 18e6, 2),     # WB QMBOC dual-pilot bank at the preset fs
 ])
 def test_track_superblock_hbm_vs_vmem_on_chip(signal, fs, pilot):
     """Both Mosaic kernels (VMEM-staged and in-kernel HBM fetch) compile
@@ -46,7 +47,7 @@ def test_track_superblock_hbm_vs_vmem_on_chip(signal, fs, pilot):
 
     cfg = get_config(signal, sampling_freq=fs, if_freq=20e3)
     if pilot:
-        cfg = cfg.replace(pilot_trk_flag=1)
+        cfg = cfg.replace(pilot_trk_flag=pilot)
     sig = get_signal(signal)
     params = make_track_params(cfg, sig)
     assert params.fast_code
@@ -120,6 +121,47 @@ def test_track_blocks_flat_on_chip():
     # every block produced valid epochs (nonzero blksize) and finite sums
     assert (bs > 0).all()
     assert np.isfinite(ip).all()
+
+
+def test_flat_path_bench_sized_record_on_chip():
+    """Bench-shaped compile check: the flat time-parallel bank over a
+    full 10 s 18 Msps record must COMPILE AND RUN within HBM — round 4's
+    bench crashed on exactly this shape (the int8 deinterleave's [S, 2]
+    intermediate tile-padded to 46 GB) while the small smoke cases
+    passed.  Few epochs per block keep the runtime short; the memory
+    hazard scales with the record, not the epoch count."""
+    _require_tpu()
+    from cusdr_tpu import get_config
+    from cusdr_tpu.signals.defs import get_signal
+    from cusdr_tpu.tracking.engine import (build_replica_tables,
+                                           make_track_params)
+    from cusdr_tpu.parallel.timeblocks import (_track_blocks_flat,
+                                               predict_block_states)
+
+    cfg = get_config("gps_l1ca")           # the real 18 Msps preset
+    sig = get_signal("gps_l1ca")
+    params = make_track_params(cfg, sig)
+    if not (params.use_pallas and params.fetch_in_kernel):
+        pytest.skip("flat path requires the in-kernel fetch default")
+    spc = cfg.samples_per_code
+    n_sec, B, epb, n_ch = 10, 100, 5, 12
+    total = int(n_sec * cfg.sampling_freq) + 8 * spc
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-16, 16, 2 * total).astype(np.int8)
+    channels = [(1 + c, cfg.if_freq + 400.0 * c - 2000.0, 17 + 401 * c)
+                for c in range(n_ch)]
+    # blocks spread over the WHOLE record so window offsets reach the end
+    st_b, _ = predict_block_states(channels, cfg, sig, B,
+                                   (total - 8 * spc) // (B * spc))
+    dops = [c[1] - cfg.if_freq for c in channels]
+    ctabs, ptabs = build_replica_tables(cfg, sig, params, channels, dops)
+    st, outs = _track_blocks_flat(jnp.asarray(samples.view(np.int16)),
+                                  jnp.asarray(ctabs), jnp.asarray(ptabs),
+                                  st_b, params, epb, B)
+    ip = np.asarray(outs.i_p)
+    assert ip.shape == (B, epb, n_ch)
+    assert np.isfinite(ip).all()
+    assert (np.asarray(outs.blksize) > 0).all()
 
 
 def test_acquisition_kernel_on_chip():
