@@ -168,7 +168,7 @@ def main():
     def stage_seq():
         n_samples = (n_epochs + 4) * spc
         samples = rng.integers(-16, 16, 2 * n_samples).astype(np.int8)
-        samples_d = jnp.asarray(samples.view(np.int16))
+        samples_d = jnp.asarray(samples.view(np.uint16))
 
         def run_track():
             st, outs = track_superblock(samples_d, jnp.int64(0), ctabs,
@@ -204,7 +204,7 @@ def main():
 
         if use_flat:
             from cusdr_tpu.parallel.timeblocks import _track_blocks_flat
-            samples_tp_d = jnp.asarray(samples_tp.view(np.int16))
+            samples_tp_d = jnp.asarray(samples_tp.view(np.uint16))
             jax.block_until_ready(samples_tp_d)
 
             def run_track_tp():
@@ -214,7 +214,7 @@ def main():
         else:
             from cusdr_tpu.parallel.timeblocks import _track_blocks
             blk_len = (epb + 4) * spc
-            s16 = samples_tp.view(np.int16)
+            s16 = samples_tp.view(np.uint16)
             sbs = np.stack([s16[s:s + blk_len] for s in starts_np])
             ends = jnp.asarray(starts_np + blk_len)
             sbs_d = jnp.asarray(sbs)

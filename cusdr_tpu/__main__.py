@@ -101,6 +101,8 @@ def main(argv=None):
 
     args = ap.parse_args(argv)
     _apply_platform(getattr(args, "platform", None))
+    from .runtime.cache import enable_persistent_cache
+    enable_persistent_cache()
 
     if args.cmd == "signals":
         from .config import PRESETS

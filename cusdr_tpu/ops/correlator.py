@@ -146,6 +146,20 @@ def _correlate_block(si, sq, wt, wp, alpha, alpha_p, remc, shi, slo, bsz,
     return jnp.concatenate(cols, axis=1)
 
 
+def vmem_path_fits(blk_pad: int, n_banks: int = 1) -> bool:
+    """Whether the VMEM-staged kernel's per-grid-step working set fits
+    VMEM.  ~8 B/channel-sample of fused carrier/baseband intermediates
+    plus ~5 B per replica bank (int8 windows + f32 tap temps), measured
+    from the compiler's scoped-vmem accounting (32.9 MB at cb=8,
+    blk=180096, 3 banks).  Long wideband epochs (B1C 10 ms at 18 Msps =
+    180k samples) exceed it — Mosaic's block tiling pins the channel
+    block at 8, so callers must fall back to the XLA epoch (the
+    in-kernel HBM fetch kernel, which streams 512-sample rows instead
+    of staging whole windows, remains the production path there)."""
+    per = 8 + 5 * n_banks
+    return CHANNEL_BLOCK * blk_pad * per <= 12 * 1024 * 1024
+
+
 @functools.lru_cache(maxsize=64)
 def _build_call(blk_pad: int, wlen: int, k: int, has_pilot: bool,
                 pilot_rot: int, interpret: bool,

@@ -88,8 +88,8 @@ def _track_blocks(samples_blocks, block_starts, block_ends, code_tables,
                   params: TrackParams, n_epochs: int):
     """vmap of track_superblock over the block axis.
 
-    samples_blocks: [B, S_blk] int16 (I low byte / Q high byte) or
-    [B, 2*S_blk] int8; block_starts/block_ends: [B] i64 (absolute sample
+    samples_blocks: [B, S_blk] uint16 packed (int8 I low byte / Q high
+    byte) or [B, 2*S_blk] int8 interleaved; block_starts/block_ends: [B] i64 (absolute sample
     range of each block's buffer); states: leaves [B, C].
     """
     import dataclasses
@@ -117,7 +117,8 @@ def _track_blocks_flat(samples_iq, code_tables, pilot_tables,
     no per-block sample buffers are materialized.  Requires the Pallas
     fetch path (replica tables are shared across blocks by row modulo).
 
-    samples_iq: [S] int16 (preferred) or [2S] int8 full record; states
+    samples_iq: [S] uint16 packed (preferred) or [2S] int8 full record;
+    states
     leaves [B, C].
     Returns (states [B, C], outputs [B, n_epochs, C]).
     """
@@ -176,9 +177,9 @@ def _track_blocks_shardmap(mesh, sb_np, sb_start_np, sb_end_np,
              out_specs=(state_spec, P("tb", None, ch_ax)),
              check_vma=False)
     def body(sb, sb_start, sb_end, ct, pt, st):
-        b_loc, blk16 = sb.shape                # int16: 1 elem == 1 sample
+        b_loc = sb.shape[0]
         c_loc = st.carr_freq.shape[1]
-        rec = sb.reshape(b_loc * blk16)
+        rec = sb.reshape(b_loc * sb.shape[1])    # per-shard pseudo-record
         if not (params.use_pallas and params.fast_code):
             # XLA fallback vmaps rows against tables 1:1 — tile the
             # c_loc-row tables to the b_loc*c_loc flat rows (the Pallas
@@ -303,17 +304,23 @@ def track_time_parallel(cfg, sig: SignalDef, samples_iq: np.ndarray,
     # single-device Pallas fast path: all blocks as ONE flat channel
     # bank over the full record, in-kernel HBM window fetch — no
     # per-block sample buffers
+    samples_iq = np.ascontiguousarray(samples_iq)
     use_flat = (mesh is None and params.use_pallas
-                and params.fetch_in_kernel)
-    samples_iq = np.ascontiguousarray(np.asarray(samples_iq, np.int8))
-    samples_i16 = samples_iq.view(np.int16)   # free host deinterleave
+                and params.fetch_in_kernel
+                and samples_iq.dtype == np.int8)
+    if samples_iq.dtype == np.int8:
+        # packed uint16: free host deinterleave (engine docstring);
+        # eps = buffer elements per complex sample
+        samples_h, eps = samples_iq.view(np.uint16), 1
+    else:
+        samples_h, eps = samples_iq, 2            # interleaved int16
     total = len(samples_iq) // 2
     if not use_flat:
         # per-block sample windows: one code period of FRONT margin
         # (handoff may move a block's start slightly before its
         # predicted start) and tail margin
         blk_len = (epochs_per_block + 4) * spc + params.blk + 256
-        sb = np.zeros((n_blocks, blk_len), np.int16)
+        sb = np.zeros((n_blocks, eps * blk_len), samples_h.dtype)
         sb_start = np.zeros(n_blocks, np.int64)
         sb_end = np.zeros(n_blocks, np.int64)
         for b in range(n_blocks):
@@ -321,7 +328,7 @@ def track_time_parallel(cfg, sig: SignalDef, samples_iq: np.ndarray,
             s1 = min(s0 + blk_len, total)
             sb_start[b] = s0
             sb_end[b] = s1
-            sb[b, :s1 - s0] = samples_i16[s0:s1]
+            sb[b, :eps * (s1 - s0)] = samples_h[eps * s0:eps * s1]
 
     if_offsets0 = np.zeros(len(channels))
     if sig.fdma:
@@ -340,7 +347,7 @@ def track_time_parallel(cfg, sig: SignalDef, samples_iq: np.ndarray,
     states = states0
     ct_d, pt_d = jnp.asarray(ctabs), jnp.asarray(ptabs)
     if use_flat:
-        samples_d = jnp.asarray(samples_i16)
+        samples_d = jnp.asarray(samples_h)
         outs = None
         for it in range(handoff_iters + 1):
             final, outs = _track_blocks_flat(samples_d, ct_d, pt_d,

@@ -217,11 +217,14 @@ def _epoch_one_channel(samples_iq, sb_start, end_sample, code_table,
     blksize = jnp.minimum(blksize, p.blk)
 
     # ---- fetch raw samples (tracking.m:226-236) ---------------------------
-    # int16 layout: one sample per element, I in the low byte and Q in the
-    # high byte (the free host-side numpy .view(int16) of interleaved int8
-    # I/Q) — avoids any [S, 2]-shaped intermediate on device (a 2-wide
-    # minor dim is tile-padded 64x on TPU, ADVICE.md r4 #2)
-    if samples_iq.dtype == jnp.int16:
+    # uint16 marks the PACKED layout: one complex sample per element,
+    # int8 I in the low byte, int8 Q in the high byte (the free host-side
+    # numpy .view(uint16) of interleaved schar I/Q) — avoids any
+    # [S, 2]-shaped intermediate on device (a 2-wide minor dim is
+    # tile-padded 64x on TPU, ADVICE.md r4 #2).  int8/int16 arrays are
+    # interleaved I/Q streams of that scalar type (cfg.data_type,
+    # initSettings.m:61).
+    if samples_iq.dtype == jnp.uint16:
         raw16 = jax.lax.dynamic_slice(
             samples_iq, (st.abs_sample - sb_start,), (p.blk,))
         sig_i = raw16.astype(jnp.int8).astype(jnp.float32)
@@ -635,7 +638,7 @@ def track_superblock(samples_iq, sb_start, code_tables, pilot_tables,
 
     samples_iq: superblock on device — [2S] int8 interleaved I/Q, or
     [S] int16 with I in the low byte / Q in the high byte (the free
-    host-side ``np.int8_array.view(np.int16)``; preferred — the int8
+    host-side ``np.int8_array.view(np.uint16)``; preferred — the int8
     form pays a device-side bitcast whose [S, 2] intermediate is
     tile-padded on TPU)
     sb_start:   absolute sample index of samples_iq[0]
@@ -646,14 +649,43 @@ def track_superblock(samples_iq, sb_start, code_tables, pilot_tables,
     ends in one flat bank); default = end of superblock
     Returns (new_state, TrackOutputs with [n_epochs, C] leaves).
     """
+    state, step, pad, n_ch = _prepare_bank(samples_iq, sb_start,
+                                           code_tables, pilot_tables,
+                                           state, params, end_sample)
+    new_state, (o32, o64, oi) = jax.lax.scan(
+        lambda st, _: step(st), state, None, length=n_epochs)
+    return _finish_bank(new_state, (o32, o64, oi), pad, n_ch)
+
+
+def _prepare_bank(samples_iq, sb_start, code_tables, pilot_tables,
+                  state: ChannelState, params: TrackParams,
+                  end_sample=None):
+    """Stage one channel bank for epoch stepping: end-sample
+    normalization, channel-block padding, sample deinterleave and (for
+    the in-kernel DMA) row re-layout.  Returns (state, step, pad, n_ch)
+    where ``step(state) -> (state, packed_outputs)`` advances the bank
+    one epoch — the composable unit the concurrent multi-signal driver
+    (tracking/multi.py) schedules several of inside one program."""
     n_ch = state.carr_freq.shape[0]
-    n_total = (samples_iq.shape[0] if samples_iq.dtype == jnp.int16
+    n_total = (samples_iq.shape[0] if samples_iq.dtype == jnp.uint16
                else samples_iq.shape[0] // 2)
     if end_sample is None:
         end_sample = sb_start + n_total
     end_sample = jnp.broadcast_to(
         jnp.asarray(end_sample, jnp.int64), (n_ch,))
     use_pallas = params.use_pallas and params.fast_code
+    if samples_iq.dtype == jnp.int16:
+        # interleaved 16-bit samples (cfg.data_type == "int16"): the
+        # Pallas kernels consume int8 windows, so these ride the XLA
+        # epoch path (which is dtype-agnostic)
+        use_pallas = False
+    if use_pallas and not params.fetch_in_kernel:
+        # the VMEM-staged kernel stages whole [8, blk] windows; long
+        # wideband epochs (B1C 10 ms at 18 Msps) blow its VMEM budget —
+        # fall back to the XLA epoch there (ops/correlator.py)
+        from ..ops.correlator import vmem_path_fits
+        n_banks = 1 + int(params.has_pilot) + int(params.has_pilot2)
+        use_pallas = vmem_path_fits(_round_up(params.blk, 128), n_banks)
     pad = 0
     if use_pallas:
         from ..ops.correlator import CHANNEL_BLOCK
@@ -671,7 +703,7 @@ def track_superblock(samples_iq, sb_start, code_tables, pilot_tables,
                     [code_tables] + [code_tables[-1:]] * pad)
                 pilot_tables = jnp.concatenate(
                     [pilot_tables] + [pilot_tables[-1:]] * pad)
-        if samples_iq.dtype == jnp.int16:
+        if samples_iq.dtype == jnp.uint16:
             v16 = samples_iq
         else:
             # deinterleave via int16 bitcast + shifts: the natural [0::2]
@@ -707,7 +739,7 @@ def track_superblock(samples_iq, sb_start, code_tables, pilot_tables,
             code_tables = to_rows(code_tables, tq_w)
             pilot_tables = to_rows(pilot_tables, tq_w)
 
-        def step(st, _):
+        def step(st):
             return _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start,
                                       end_sample, code_tables,
                                       pilot_tables, st, params)
@@ -716,15 +748,20 @@ def track_superblock(samples_iq, sb_start, code_tables, pilot_tables,
                       in_axes=(None, None, 0, 0, 0, 0, None),
                       out_axes=(0, (1, 1, 1)))
 
-        def step(st, _):
+        def step(st):
             return vm(samples_iq, sb_start, end_sample, code_tables,
                       pilot_tables, st, params)
 
-    new_state, (o32, o64, oi) = jax.lax.scan(step, state, None,
-                                             length=n_epochs)
+    return state, step, pad, n_ch
+
+
+def _finish_bank(new_state, packed, pad, n_ch):
+    """Strip channel-block padding and unpack the scan's dtype-
+    homogeneous output stacks into TrackOutputs."""
+    o32, o64, oi = packed
     if pad:
         new_state = jax.tree.map(lambda x: x[:n_ch], new_state)
-        o32, o64, oi = (x[:, :, :n_ch] for x in (o32, o64, oi))
+        o32, o64, oi = (x[..., :n_ch] for x in (o32, o64, oi))
     # o32: [E, 12, C]; o64: [E, 4, C]; oi: [E, 2, C]
     outs = TrackOutputs(
         i_e=o32[:, 0], q_e=o32[:, 1], i_p=o32[:, 2], q_p=o32[:, 3],
@@ -953,8 +990,12 @@ def track(cfg, sig: SignalDef, samples_iq: np.ndarray,
     """
     params = make_track_params(cfg, sig)
     spc = cfg.samples_per_code
-    samples_iq = np.ascontiguousarray(np.asarray(samples_iq, np.int8))
-    samples_i16 = samples_iq.view(np.int16)   # free host-side deinterleave
+    samples_iq = np.ascontiguousarray(np.asarray(samples_iq))
+    if samples_iq.dtype == np.int8:
+        # packed uint16: free host-side deinterleave (track_superblock)
+        samples_i16, _eps = samples_iq.view(np.uint16), 1
+    else:
+        samples_i16, _eps = samples_iq, 2      # interleaved int16
     total_samples = len(samples_iq) // 2
     max_phase = max(ch[2] for ch in channels)
     if n_epochs is None:
@@ -985,56 +1026,95 @@ def track(cfg, sig: SignalDef, samples_iq: np.ndarray,
     end_sample = jnp.int64(total_samples)
     vsm = cfg.cno.vsm_interval_ms
     low_lock = np.zeros(len(channels), np.int32)
-    base_pwr = None
+    base_pwr = [None]
     chunks = []
-    done = 0
-    while done < n_epochs:
-        cur = min(sb_epochs, n_epochs - done)
-        sb_start = int(np.min(np.asarray(state.abs_sample)))
-        sb_len = (max_phase - sb_start + (cur + 3) * spc + params.blk
-                  + 256)
-        sb_len = min(sb_len, total_samples - sb_start)
-        sb = jnp.asarray(samples_i16[sb_start:sb_start + sb_len])
-        state, outs = track_superblock(
-            sb, jnp.int64(sb_start), ctabs_d, ptabs_d, state, params,
-            cur, end_sample)
+    drop_ratio = 10.0 ** (-cfg.lock_power_drop_db / 10.0)
+
+    def drain(outs, cur):
+        """Fetch a dispatched superblock's outputs (host blocks only on
+        THAT program; later dispatches keep the device busy) and run the
+        lock gate on it.  Returns a drop mask to apply to the carry
+        state before the next dispatch.
+
+        Lock gate: PLL NBD/NBP detector (Calc_CNo_PLD.m) plus a
+        RELATIVE prompt-power gate against the channel's running-max
+        power baseline (the rectified-I detector saturates near 1 on
+        pure noise, so a blackout only shows in power).  A channel
+        failing either gate for 2 consecutive superblocks is dropped —
+        the reference's channel lifecycle ('T' -> '-',
+        showChannelStatus.m) made per-channel.  Because the fetch is
+        pipelined one superblock behind the dispatch, a drop takes
+        effect one superblock later than in a fully synchronous loop.
+        """
         out_np = jax.tree.map(np.asarray, outs)
         chunks.append(out_np)
+        if not (cfg.lock_detect and cur >= vsm):
+            return None
+        from .cno import pll_lock_detector
+        alive = out_np.blksize[-1] > 0
+        pwr = (out_np.i_p.astype(np.float64) ** 2
+               + out_np.q_p.astype(np.float64) ** 2).mean(axis=0)
+        # baseline = running max of per-superblock prompt power, so a
+        # slow pull-in (first superblock still converging) cannot
+        # understate it; a blackout then always shows as a drop
+        if base_pwr[0] is None:
+            base_pwr[0] = pwr.copy()
+        else:
+            base_pwr[0] = np.maximum(base_pwr[0], pwr)
+        for c in range(len(channels)):
+            if not alive[c]:
+                continue
+            pld = pll_lock_detector(out_np.i_p[-vsm:, c],
+                                    out_np.q_p[-vsm:, c])
+            bad = (pld < cfg.lock_threshold
+                   or pwr[c] < drop_ratio * base_pwr[0][c])
+            low_lock[c] = low_lock[c] + 1 if bad else 0
+        drop = low_lock >= 2
+        return drop if drop.any() else None
+
+    # ---- pipelined superblock loop (the PP-analog of the build) -----------
+    # The reference serializes read -> track -> decode (postProcessing.m:
+    # 100-134).  Here superblock k+1's host work — window staging, H2D
+    # transfer, dispatch — and the lock gate on superblock k-1 overlap
+    # the device's compute of superblock k: window bounds are ANALYTIC
+    # (per-epoch block size stays within spc±2 samples of nominal), so
+    # the host never synchronizes on device state inside the loop, and
+    # output fetches lag dispatch by one superblock.  Buffers are padded
+    # to a shared size so the engine compiles ONCE for the whole record.
+    min_phase0 = min(ch[2] for ch in channels)
+    done = 0
+    pending = None
+    drop_mask = None
+    buf_len = None
+    while done < n_epochs:
+        cur = min(sb_epochs, n_epochs - done)
+        drift = 2 * (done + cur + 3)
+        sb_start = max(min_phase0 + done * spc - drift - spc, 0)
+        need = (max_phase + (done + cur + 3) * spc + drift
+                + params.blk + 256 - sb_start)
+        if buf_len is None:
+            # shared buffer size: the last (largest-drift) window of the
+            # run, rounded up — every superblock reuses one program
+            drift_end = 2 * (n_epochs + 3)
+            buf_len = _round_up(
+                max_phase - min_phase0 + (sb_epochs + 4) * spc
+                + 2 * drift_end + params.blk + 256, 4 * spc)
+        buf_len = max(buf_len, _round_up(need, 4 * spc))
+        buf = np.zeros(_eps * buf_len, samples_i16.dtype)
+        lo, hi = sb_start, min(sb_start + buf_len, total_samples)
+        buf[:_eps * (hi - lo)] = samples_i16[_eps * lo:_eps * hi]
+        if drop_mask is not None:
+            state = state._replace(active=jnp.logical_and(
+                state.active, jnp.asarray(~drop_mask)))
+        state, outs = track_superblock(
+            jnp.asarray(buf), jnp.int64(sb_start), ctabs_d, ptabs_d,
+            state, params, cur, end_sample)
         done += cur
-        max_phase = int(np.max(np.asarray(state.abs_sample)))
-        if cfg.lock_detect and cur >= vsm:
-            # lock gate between superblocks: PLL NBD/NBP detector
-            # (Calc_CNo_PLD.m) plus a RELATIVE prompt-power gate against
-            # the channel's own running-max power baseline (the
-            # rectified-I detector saturates near 1 on pure noise, so a
-            # signal blackout only shows in the power).  A channel
-            # failing either gate for 2 consecutive superblocks is
-            # dropped — the reference's channel-status lifecycle
-            # ('T' -> '-', showChannelStatus.m) made per-channel.
-            from .cno import pll_lock_detector
-            act = np.asarray(state.active)
-            pwr = (out_np.i_p.astype(np.float64) ** 2
-                   + out_np.q_p.astype(np.float64) ** 2).mean(axis=0)
-            # baseline = running max of per-superblock prompt power, so
-            # a slow pull-in (first superblock still converging) cannot
-            # understate it; a blackout then always shows as a drop
-            if base_pwr is None:
-                base_pwr = pwr.copy()
-            else:
-                base_pwr = np.maximum(base_pwr, pwr)
-            drop_ratio = 10.0 ** (-cfg.lock_power_drop_db / 10.0)
-            for c in range(len(channels)):
-                if not act[c]:
-                    continue
-                pld = pll_lock_detector(out_np.i_p[-vsm:, c],
-                                        out_np.q_p[-vsm:, c])
-                bad = (pld < cfg.lock_threshold
-                       or pwr[c] < drop_ratio * base_pwr[c])
-                low_lock[c] = low_lock[c] + 1 if bad else 0
-            drop = low_lock >= 2
-            if drop.any():
-                state = state._replace(
-                    active=jnp.asarray(act & ~drop))
+        if pending is not None:
+            drop_mask = drain(*pending)     # lags one superblock
+        pending = (outs, cur)
+    if pending is not None:
+        drain(*pending)
 
     merged = {}
     for fieldname in TrackOutputs._fields:

@@ -128,7 +128,7 @@ def test_offsets_past_int32_range():
                                 carrier_freq_hz=sig.carrier_freq_hz)
     big = np.int64(2 ** 31 + 1_000_000)
     state_big = state0._replace(abs_sample=state0.abs_sample + big)
-    sd = jnp.asarray(samples.view(np.int16))
+    sd = jnp.asarray(samples.view(np.uint16))
     ctd, ptd = jnp.asarray(ct), jnp.asarray(pt)
 
     variants = {
