@@ -97,6 +97,19 @@ def main(argv=None):
                         "(default: auto on TPU)")
     p.add_argument("--no-pallas", dest="use_pallas", action="store_false")
 
+    p = sub.add_parser("run-multi",
+                       help="concurrent multi-signal pipeline (the "
+                            "constellation/EP axis): every signal's "
+                            "channel bank tracked in ONE device program")
+    p.add_argument("--set", action="append", required=True,
+                   metavar="SIGNAL=FILE", dest="sets",
+                   help="signal preset and its IF recording; repeatable "
+                        "(bands are recorded separately, one file per "
+                        "signal as in the reference data sets)")
+    p.add_argument("--ms", type=int, help="common ms span to process")
+    p.add_argument("--out", default="out", help="output directory")
+    p.add_argument("--platform", default=None)
+
     sub.add_parser("signals", help="list registered signals")
 
     args = ap.parse_args(argv)
@@ -112,6 +125,43 @@ def main(argv=None):
             print(f"{k:10s}  {sig.chip_rate_hz / 1e6:6.3f} Mcps x "
                   f"{sig.code_length_chips:6d} chips  codec={sig.nav_codec}")
         return 0
+
+    if args.cmd == "run-multi":
+        from pathlib import Path as _P
+        from .config import get_config
+        from . import checkpoint
+        from .receiver import run_multi
+        out = _P(args.out)
+        out.mkdir(parents=True, exist_ok=True)
+        entries = []
+        for item in args.sets:
+            name, _, path = item.partition("=")
+            if not path:
+                print(f"--set needs SIGNAL=FILE, got {item!r}")
+                return 2
+            cfg = get_config(name, file_name=path,
+                             **({"ms_to_process": args.ms}
+                                if args.ms else {}))
+            entries.append((cfg, None))
+        results = run_multi(entries, n_ms=args.ms)
+        rc = 1
+        for (cfg, _), res in zip(entries, results):
+            tag = cfg.signal
+            if not res.channels:
+                print(f"{tag}: no signals detected")
+                continue
+            rc = 0
+            checkpoint.save_tracking(out / f"trk_{tag}.npz", res.track)
+            prns = ",".join(str(p) for p, *_ in res.channels)
+            msg = f"{tag}: {len(res.channels)} channels (PRN {prns})"
+            if res.nav is not None and len(res.nav.X):
+                checkpoint.save_navigation(out / f"nav_{tag}.npz",
+                                           res.nav)
+                msg += (f", {len(res.nav.X)} fixes, mean lat="
+                        f"{np.mean(res.nav.latitude):.6f} lon="
+                        f"{np.mean(res.nav.longitude):.6f}")
+            print(msg)
+        return rc
 
     from .config import get_config
     over = {}

@@ -239,6 +239,66 @@ def nav_solve(cfg, sig, track_res) -> Optional[NavSolutions]:
     return sol if sol.X else None
 
 
+
+def _acquire_record(cfg, sig, samples_iq):
+    """Real-branch interleave + acquisition on the leading samples
+    (postProcessing.m:88-100), sized for the coarse slabs
+    (noncoh * coherent periods + 1) AND the fine stage (fine_n_codes + 1
+    periods; 45 covers the default 40 ms window with margin).
+    Returns (interleaved samples, AcquisitionResult)."""
+    if cfg.file_type == 1:
+        inter = np.zeros(2 * len(samples_iq), samples_iq.dtype)
+        inter[0::2] = samples_iq
+        samples_iq = inter
+    spc = cfg.samples_per_code
+    n_coh = max(1, int(round(cfg.acq_coh_time
+                             / max(sig.code_period_ms, 1e-9))))
+    n_acq = (cfg.acq_non_coh_time * n_coh
+             + max(cfg.fine_n_codes, 45) + 2) * spc
+    acq_sig = (samples_iq[0:2 * n_acq:2].astype(np.float32)
+               + 1j * samples_iq[1:2 * n_acq:2].astype(np.float32))
+    return samples_iq, acquire(cfg, sig, acq_sig)
+
+
+def run_multi(entries, n_ms=None, mesh=None) -> list:
+    """Concurrent multi-constellation processing — the EP axis at the
+    receiver level.
+
+    The reference processes each signal in a separate receiver run (12
+    sibling directories, SURVEY.md §2.3).  Here each entry is
+    ``(cfg, samples_iq-or-None)`` — one per signal, each with its own IF
+    record — acquisition runs per signal, then EVERY signal's channel
+    bank is tracked concurrently inside one device program on a common
+    subepoch clock (tracking/multi.py), then nav/PVT solves per signal.
+    With ``mesh`` the channel axes shard over the 'ch' mesh axis.
+    Returns a list of ReceiverResults, one per entry.
+    """
+    from .tracking.multi import track_multi
+    staged = []
+    for cfg, samples_iq in entries:
+        sig = get_signal(cfg.signal)
+        if samples_iq is None:
+            samples_iq = read_if_file(cfg.file_name, cfg)
+        samples_iq, acq = _acquire_record(cfg, sig, samples_iq)
+        channels = acq.best_channels(cfg.num_channels)
+        staged.append((cfg, sig, samples_iq, acq, channels))
+    specs = [(c, s, iq, ch) for c, s, iq, _, ch in staged if ch]
+    if n_ms is None:
+        lims = [c.ms_to_process for c, *_ in staged if c.ms_to_process]
+        n_ms = min(lims) if lims else None
+    trks = track_multi(specs, n_ms=n_ms, mesh=mesh) if specs else []
+    out, ti = [], 0
+    for cfg, sig, iq, acq, channels in staged:
+        if not channels:
+            out.append(ReceiverResults(acq, None, None, []))
+            continue
+        trk = trks[ti]
+        ti += 1
+        nav = nav_solve(cfg, sig, trk)
+        out.append(ReceiverResults(acq, trk, nav, channels))
+    return out
+
+
 @dataclass
 class ReceiverResults:
     acq: object
@@ -265,23 +325,7 @@ class Receiver:
         cfg = self.cfg
         if samples_iq is None:
             samples_iq = read_if_file(cfg.file_name, cfg)
-        if cfg.file_type == 1:
-            inter = np.zeros(2 * len(samples_iq), samples_iq.dtype)
-            inter[0::2] = samples_iq
-            samples_iq = inter
-        spc = cfg.samples_per_code
-
-        # acquisition on the leading samples (postProcessing.m:88-100),
-        # sized for the coarse slabs (noncoh * coherent periods + 1) AND
-        # the fine stage (fine_n_codes + 1 periods; 45 covers the default
-        # 40 ms window with margin)
-        n_coh = max(1, int(round(cfg.acq_coh_time
-                                 / max(self.sig.code_period_ms, 1e-9))))
-        n_acq = (cfg.acq_non_coh_time * n_coh
-                 + max(cfg.fine_n_codes, 45) + 2) * spc
-        acq_sig = (samples_iq[0:2 * n_acq:2].astype(np.float32)
-                   + 1j * samples_iq[1:2 * n_acq:2].astype(np.float32))
-        acq = acquire(cfg, self.sig, acq_sig)
+        samples_iq, acq = _acquire_record(cfg, self.sig, samples_iq)
 
         channels = acq.best_channels(cfg.num_channels)
         if not channels:

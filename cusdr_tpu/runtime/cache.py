@@ -24,6 +24,12 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
     env = os.environ.get("CUSDR_CACHE_DIR")
     if env == "0":
         return None
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if "cpu" in plats.lower().split(","):
+        # forced-CPU runs (tests, the driver's virtual-mesh dryrun)
+        # compile fast AND their XLA:CPU AOT artifacts are machine-type
+        # specific — sharing a cache dir across hosts risks SIGILL
+        return None
     cache_dir = path or env or os.path.expanduser("~/.cache/cusdr_tpu/xla")
     try:
         import jax

@@ -77,8 +77,10 @@ class TrackParams:
                                      # windows from HBM (scalar-prefetch,
                                      # double-buffered) instead of XLA
                                      # staging [C, blk] slices; not
-                                     # vmappable — the sharded time-block
-                                     # path disables it
+                                     # vmappable — only the vmapped
+                                     # per-block fallback
+                                     # (timeblocks._track_blocks)
+                                     # disables it
     pilot_rot: int = 1          # pilot carrier phase in quarter turns vs
                                 # data: 1 = +Q (L5/E1/E5 quadrature
                                 # pilots), 0 = +I (L2C time-multiplexed

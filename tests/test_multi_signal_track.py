@@ -106,3 +106,37 @@ def test_locks_both_signals(scenes):
     assert ip > 3 * qp
     e1 = multi[1]
     assert abs(e1.carr_freq[0, -25:].mean() - 7800.0) < 10.0
+
+
+def test_run_multi_receiver_level(tmp_path, scenes):
+    """receiver.run_multi: per-signal acquisition, one concurrent
+    tracking program, per-signal results — via on-disk IF files and the
+    CLI entry (the reference would need two separate receiver runs)."""
+    from cusdr_tpu.receiver import run_multi
+
+    spec_a, spec_b = scenes
+    cfg_a = spec_a[0].replace(
+        file_name=str(tmp_path / "l1.bin"), ms_to_process=800,
+        acq_satellite_list=(7, 13, 20), acq_non_coh_time=4,
+        acq_threshold=2.5)
+    spec_a[2].tofile(cfg_a.file_name)
+    cfg_b = spec_b[0].replace(
+        file_name=str(tmp_path / "e1.bin"), ms_to_process=800,
+        acq_satellite_list=(2, 4), acq_non_coh_time=2,
+        acq_threshold=2.5)
+    spec_b[2].tofile(cfg_b.file_name)
+
+    results = run_multi([(cfg_a, None), (cfg_b, None)])
+    assert len(results) == 2
+    ra, rb = results
+    assert {7, 13} <= {p for p, *_ in ra.channels}
+    assert 4 in {p for p, *_ in rb.channels}
+    # both signals' banks tracked concurrently: locked prompt power
+    ia = list(p for p, *_ in ra.channels).index(7)
+    ip = np.abs(ra.track.i_p[ia, -200:]).mean()
+    qp = np.abs(ra.track.q_p[ia, -200:]).mean()
+    assert ip > 3 * qp
+    ib = list(p for p, *_ in rb.channels).index(4)
+    ipb = np.abs(rb.track.i_p[ib, -50:]).mean()
+    qpb = np.abs(rb.track.q_p[ib, -50:]).mean()
+    assert ipb > 2 * qpb
