@@ -438,11 +438,13 @@ def _build_call_hbm(blk_pad: int, k: int, has_pilot: bool,
 
         def chan_dmas(c: int):
             """Window copies for channel c of THIS grid step, into
-            channel-slot c % 2.  The pipeline keeps at most two
-            channels' copies outstanding — launching a whole step's
-            (or two steps') batches at once overruns the DMA queue and
-            deadlocks on hardware (measured on v5e)."""
-            slot = jnp.int32(c % 2)
+            channel-slot c % 3.  The pipeline keeps at most two
+            channels' copies outstanding ahead of the consumer —
+            launching a whole step's (or two steps') batches at once
+            overruns the DMA queue and deadlocks on hardware (measured
+            on v5e); two-ahead (<= 10 outstanding) hides the
+            per-channel DMA issue+completion latency behind compute."""
+            slot = jnp.int32(c % 3)
             row = i * cb + jnp.int32(c)
             qv = q_r[row].astype(jnp.int32)
             out = [pltpu.make_async_copy(
@@ -469,11 +471,13 @@ def _build_call_hbm(blk_pad: int, k: int, has_pilot: bool,
 
         for d in chan_dmas(0):
             d.start()
+        for d in chan_dmas(1):
+            d.start()
 
         for c in range(cb):
-            slot = c % 2
-            if c + 1 < cb:
-                for d in chan_dmas(c + 1):
+            slot = c % 3
+            if c + 2 < cb:
+                for d in chan_dmas(c + 2):
                     d.start()
             for d in chan_dmas(c):
                 d.wait()
@@ -515,22 +519,22 @@ def _build_call_hbm(blk_pad: int, k: int, has_pilot: bool,
         c = q.shape[0]
         assert c % cb == 0, c
         in_specs = [hbm] * (2 + n_dma - 2)
-        scratch = [pltpu.VMEM((2, tq_s, 4, 128), jnp.int8),
-                   pltpu.VMEM((2, tq_s, 4, 128), jnp.int8),
-                   pltpu.VMEM((2, tq_w, 4, 128), jnp.int8)]
+        scratch = [pltpu.VMEM((3, tq_s, 4, 128), jnp.int8),
+                   pltpu.VMEM((3, tq_s, 4, 128), jnp.int8),
+                   pltpu.VMEM((3, tq_w, 4, 128), jnp.int8)]
         if has_pilot:
-            scratch.append(pltpu.VMEM((2, tq_w, 4, 128), jnp.int8))
+            scratch.append(pltpu.VMEM((3, tq_w, 4, 128), jnp.int8))
             pref = [q, wrow, qt, rt, qp, rp,
                     alpha, alpha_p, remc, shi, slo, bsz, rstart]
             args = [sig_i3, sig_q3, wt4, wp4]
             if has_pilot2:
-                scratch.append(pltpu.VMEM((2, tq_w, 4, 128), jnp.int8))
+                scratch.append(pltpu.VMEM((3, tq_w, 4, 128), jnp.int8))
                 args.append(wp24)
         else:
             pref = [q, wrow, qt, rt,
                     alpha, remc, shi, slo, bsz, rstart]
             args = [sig_i3, sig_q3, wt4]
-        scratch.append(pltpu.SemaphoreType.DMA((2, n_dma)))
+        scratch.append(pltpu.SemaphoreType.DMA((3, n_dma)))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=n_pref,
             grid=(c // cb,),
