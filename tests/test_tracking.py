@@ -152,3 +152,40 @@ def test_offsets_past_int32_range():
                                    err_msg=name)
         np.testing.assert_array_equal(np.asarray(st.abs_sample) - big,
                                       np.asarray(ref_st.abs_sample))
+
+
+def test_packed_uint16_matches_int8_interleaved():
+    """The packed uint16 sample layout (host .view of interleaved schar
+    I/Q) must produce bit-identical tracking to the int8 interleaved
+    form on every path — it is a relayout, not a numeric change."""
+    import jax.numpy as jnp
+
+    from cusdr_tpu.tracking.engine import (build_replica_tables,
+                                           init_channel_state,
+                                           make_track_params,
+                                           track_superblock)
+
+    cfg = get_config("gps_l1ca", sampling_freq=2.048e6, if_freq=7000.0)
+    sig = get_signal("gps_l1ca")
+    params = make_track_params(cfg, sig)
+    rng = np.random.default_rng(5)
+    n_epochs = 5
+    spc = cfg.samples_per_code
+    samples = rng.integers(-16, 16,
+                           2 * (n_epochs + 4) * spc).astype(np.int8)
+    chans = [(7, 8500.0, 500), (9, 6000.0, 77)]
+    dops = [c[1] - cfg.if_freq for c in chans]
+    ct, pt = build_replica_tables(cfg, sig, params, chans, dops)
+    state = init_channel_state(chans, sig.chip_rate_hz, dopplers=dops,
+                               carrier_freq_hz=sig.carrier_freq_hz)
+    ctd, ptd = jnp.asarray(ct), jnp.asarray(pt)
+    st8, out8 = track_superblock(jnp.asarray(samples), jnp.int64(0),
+                                 ctd, ptd, state, params, n_epochs)
+    st16, out16 = track_superblock(
+        jnp.asarray(samples.view(np.uint16)), jnp.int64(0),
+        ctd, ptd, state, params, n_epochs)
+    for f in ("i_p", "q_p", "i_e", "q_l", "abs_sample", "blksize"):
+        np.testing.assert_array_equal(np.asarray(getattr(out8, f)),
+                                      np.asarray(getattr(out16, f)), f)
+    np.testing.assert_array_equal(np.asarray(st8.carr_freq),
+                                  np.asarray(st16.carr_freq))
