@@ -187,7 +187,7 @@ def main():
     # INTRA-chip: B concurrent blocks fill the VPU far better than one
     # serial scan.  Flat formulation: one B*C-row channel bank over the
     # full record with the in-kernel HBM window fetch.  The record rides
-    # to the device as int16 (host .view) — the int8 form's device-side
+    # to the device as packed uint16 (host .view) — the int8 form's
     # deinterleave materialized a [S, 2] tile-padded intermediate that
     # OOMed a 10 s record in round 4.
     def stage_tp():

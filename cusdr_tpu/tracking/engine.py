@@ -638,11 +638,12 @@ def track_superblock(samples_iq, sb_start, code_tables, pilot_tables,
                      n_epochs: int, end_sample=None):
     """Track all channels through ``n_epochs`` code periods.
 
-    samples_iq: superblock on device — [2S] int8 interleaved I/Q, or
-    [S] int16 with I in the low byte / Q in the high byte (the free
-    host-side ``np.int8_array.view(np.uint16)``; preferred — the int8
-    form pays a device-side bitcast whose [S, 2] intermediate is
-    tile-padded on TPU)
+    samples_iq: superblock on device — [S] uint16 PACKED with int8 I in
+    the low byte / int8 Q in the high byte (the free host-side
+    ``np.int8_array.view(np.uint16)``; preferred — the int8 form pays a
+    device-side bitcast whose [S, 2] intermediate is tile-padded on
+    TPU), [2S] int8 interleaved I/Q, or [2S] int16 interleaved 16-bit
+    samples (cfg.data_type == "int16"; rides the XLA epoch path)
     sb_start:   absolute sample index of samples_iq[0]
     code_tables/pilot_tables: [C, E] int8 element tables
     end_sample: absolute end of the record (channels whose next window
@@ -713,8 +714,8 @@ def _prepare_bank(samples_iq, sb_start, code_tables, pilot_tables,
             # 18 Msps record (measured on v5e).  I is the low byte
             # (little-endian), Q the high byte; int8 truncation keeps
             # exactly that byte.  NOTE the [S, 2] intermediate is tile-
-            # padded 64x on TPU — callers with multi-GB records must pass
-            # int16 (host .view) instead.
+            # padded 64x on TPU — callers with multi-GB records must
+            # pass packed uint16 (host .view) instead.
             v16 = jax.lax.bitcast_convert_type(
                 samples_iq.reshape(-1, 2), jnp.int16)
         sig_i_all = v16.astype(jnp.int8)
