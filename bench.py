@@ -235,11 +235,55 @@ def main():
                                                 * sig.code_period_ms
                                                 / 1000.0, 1)
 
+    # ---------------- concurrent multi-signal (EP axis) ---------------------
+    # Two constellations' channel banks — GPS L1CA and L5C (pilot-aided,
+    # 10.23 Mcps) — scheduled in ONE device program on a common 1 ms
+    # subepoch (tracking/multi.py).  The reference runs one receiver per
+    # signal (SURVEY.md §2.3); the metric is aggregate IF samples/s
+    # across both bands.
+    def stage_ep():
+        from cusdr_tpu.tracking.multi import (BankInputs,
+                                              track_superblock_multi)
+        n_ep = 2000
+        banks, plist = [], []
+        for name in ("gps_l1ca", "gps_l5c"):
+            c2 = get_config(name)
+            s2 = get_signal(name)
+            p2 = make_track_params(c2, s2)
+            spc2 = c2.samples_per_code
+            ch2 = [(1 + k, c2.if_freq + 500.0 * (k - 6), k * 1499)
+                   for k in range(12)]
+            d2 = [c[1] - c2.if_freq for c in ch2]
+            ct2, pt2 = build_replica_tables(c2, s2, p2, ch2, d2)
+            st2 = init_channel_state(ch2, s2.chip_rate_hz, dopplers=d2,
+                                     carrier_freq_hz=s2.carrier_freq_hz)
+            rec = rng.integers(-16, 16,
+                               2 * (n_ep + 4) * spc2).astype(np.int8)
+            banks.append(BankInputs(jnp.asarray(rec.view(np.uint16)),
+                                    jnp.int64(0), jnp.asarray(ct2),
+                                    jnp.asarray(pt2), st2,
+                                    jnp.int64((n_ep + 4) * spc2)))
+            plist.append(p2)
+
+        def run_ep():
+            res = track_superblock_multi(tuple(banks), tuple(plist),
+                                         (1, 1), n_ep)
+            return np.asarray(res[0][0].carr_freq)
+
+        run_ep()                           # compile
+        t0 = time.perf_counter()
+        run_ep()
+        t_ep = time.perf_counter() - t0
+        total = 2 * n_ep * spc             # both bands' input samples
+        STAGES["multi_signal_samples_per_s"] = round(total / t_ep, 1)
+        STAGES["multi_signal_bands"] = "gps_l1ca+gps_l5c"
+
     fs = cfg.sampling_freq
     _emit(fs)                       # rc-0 line exists from the very start
     _stage("seq_track", stage_seq, fs)
     _stage("tp_track", stage_tp, fs)
     _stage("acq", stage_acq, fs)
+    _stage("ep_multi_signal", stage_ep, fs)
 
 
 if __name__ == "__main__":
