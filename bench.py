@@ -41,7 +41,9 @@ def _emit(cfg_fs):
     import jax
     d = dict(STAGES)
     track_rates = [d.get("track_samples_per_s_sequential", 0.0),
-                   d.get("track_samples_per_s_timeparallel", 0.0)]
+                   d.get("track_samples_per_s_timeparallel", 0.0),
+                   d.get("track_samples_per_s_timeparallel_nearest",
+                         0.0)]
     track_rate = max(track_rates)
     total_samples = 60.0 * cfg_fs                 # reference 60 s record
     t_acq = d.get("acq_time_s")
@@ -234,6 +236,27 @@ def main():
         STAGES["timeparallel_record_s"] = round(n_epochs_tp
                                                 * sig.code_period_ms
                                                 / 1000.0, 1)
+
+        if use_flat:
+            # reference-parity fidelity: nearest-sample taps — the
+            # reference's own ceil-index replica lookup
+            # (tracking.m:252-270; it never interpolates sub-sample).
+            # The default keeps interp ON (a fidelity upgrade); this is
+            # the apples-to-apples number against the reference.
+            import dataclasses
+            p_near = dataclasses.replace(params, interp_taps=False)
+
+            def run_near():
+                st, outs = _track_blocks_flat(samples_tp_d, ctabs,
+                                              ptabs, st_b, p_near, epb,
+                                              n_blocks)
+                return np.asarray(st.carr_freq)
+
+            run_near()                     # compile
+            t0 = time.perf_counter()
+            run_near()
+            STAGES["track_samples_per_s_timeparallel_nearest"] = round(
+                n_epochs_tp * spc / (time.perf_counter() - t0), 1)
 
     # ---------------- concurrent multi-signal (EP axis) ---------------------
     # Two constellations' channel banks — GPS L1CA and L5C (pilot-aided,

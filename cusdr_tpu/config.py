@@ -142,6 +142,11 @@ class ReceiverConfig:
     settle_epochs: int = 200            # epochs masked from measurement after
                                         # each block boundary when
                                         # handoff_iters == 0
+    interp_taps: bool = True            # sub-sample replica interpolation in
+                                        # the correlators; False = nearest-
+                                        # sample taps, the reference's own
+                                        # fidelity (ceil-index lookup,
+                                        # tracking.m:252-270) at lower cost
 
     # -------------------------------------------------------------------------
     @property

@@ -61,7 +61,8 @@ def _rot_bb(bb_i, bb_q, rot: int):
 def _correlate_block(si, sq, wt, wp, alpha, alpha_p, remc, shi, slo, bsz,
                      *, blk_pad: int, k: int, has_pilot: bool,
                      pilot_rot: int, wp2=None, pilot2_rot: int = 2,
-                     pilot_w1: float = 1.0, pilot_w2: float = 0.0):
+                     pilot_w1: float = 1.0, pilot_w2: float = 0.0,
+                     interp_taps: bool = True):
     """Shared kernel body: correlator sums for one cb-channel block.
 
     si/sq: (cb, blk_pad) int8 sample windows; wt/wp: (cb, wlen) int8
@@ -104,6 +105,8 @@ def _correlate_block(si, sq, wt, wp, alpha, alpha_p, remc, shi, slo, bsz,
     def taps(w, al):
         def repl(d):
             a = w[:, d:d + blk_pad].astype(jnp.float32)
+            if not interp_taps:
+                return a             # nearest-sample (reference parity)
             b = w[:, d + 1:d + 1 + blk_pad].astype(jnp.float32)
             return a + al * (b - a)
         return repl(0), repl(k), repl(2 * k)
@@ -164,7 +167,8 @@ def vmem_path_fits(blk_pad: int, n_banks: int = 1) -> bool:
 def _build_call(blk_pad: int, wlen: int, k: int, has_pilot: bool,
                 pilot_rot: int, interpret: bool,
                 has_pilot2: bool = False, pilot2_rot: int = 2,
-                pilot_w1: float = 1.0, pilot_w2: float = 0.0):
+                pilot_w1: float = 1.0, pilot_w2: float = 0.0,
+                interp_taps: bool = True):
     n_out = 16 if has_pilot else 8
 
     def kernel(*refs):
@@ -188,7 +192,7 @@ def _build_call(blk_pad: int, wlen: int, k: int, has_pilot: bool,
             pilot_rot=pilot_rot,
             wp2=wp2_r[:] if has_pilot2 else None,
             pilot2_rot=pilot2_rot, pilot_w1=pilot_w1,
-            pilot_w2=pilot_w2)
+            pilot_w2=pilot_w2, interp_taps=interp_taps)
 
     cb = CHANNEL_BLOCK
 
@@ -234,7 +238,7 @@ def correlate_bank(alpha, remc, shi, slo, bsz, si, sq, wt, wp=None,
                    wp2=None, *, k: int, alpha_p=None,
                    pilot_rot: int = 1, pilot2_rot: int = 2,
                    pilot_w1: float = 1.0, pilot_w2: float = 0.0,
-                   interpret: bool = False):
+                   interp_taps: bool = True, interpret: bool = False):
     """Correlator sums for a channel bank (operands pre-staged in VMEM).
 
     alpha/remc/shi/slo/bsz: [C, 1] f32 per-channel scalars — replica
@@ -256,7 +260,8 @@ def correlate_bank(alpha, remc, shi, slo, bsz, si, sq, wt, wp=None,
     call = _build_call(blk_pad, wlen, int(k), wp is not None,
                        int(pilot_rot), bool(interpret),
                        wp2 is not None, int(pilot2_rot),
-                       float(pilot_w1), float(pilot_w2))
+                       float(pilot_w1), float(pilot_w2),
+                       bool(interp_taps))
     if alpha_p is None:
         alpha_p = alpha
     return call(alpha, alpha_p, remc, shi, slo, bsz, si, sq, wt, wp, wp2)
@@ -321,7 +326,7 @@ def _correlate_rows(si, sq, wi, wpi, remc, shi, slo, rstart, bsz,
                     alpha, alpha_p, *, rows: int, k: int,
                     has_pilot: bool, pilot_rot: int, wp2i=None,
                     pilot2_rot: int = 2, pilot_w1: float = 1.0,
-                    pilot_w2: float = 0.0):
+                    pilot_w2: float = 0.0, interp_taps: bool = True):
     """Correlator sums for ONE channel in (rows, 128) window layout.
 
     si/sq: (rows, 128) f32 sample window starting at the aligned offset;
@@ -351,7 +356,7 @@ def _correlate_rows(si, sq, wi, wpi, remc, shi, slo, rstart, bsz,
     bb_q = (sq * cosw - si * sinw) * mask
 
     def taps(w, al):
-        base = w + al * (_shift_flat(w, 1) - w)
+        base = (w + al * (_shift_flat(w, 1) - w)) if interp_taps else w
         return (base[:rows], _shift_flat(base, k)[:rows],
                 _shift_flat(base, 2 * k)[:rows])
 
@@ -406,7 +411,8 @@ def hbm_geometry(blk_pad: int, k: int):
 def _build_call_hbm(blk_pad: int, k: int, has_pilot: bool,
                     pilot_rot: int, interpret: bool,
                     has_pilot2: bool = False, pilot2_rot: int = 2,
-                    pilot_w1: float = 1.0, pilot_w2: float = 0.0):
+                    pilot_w1: float = 1.0, pilot_w2: float = 0.0,
+                    interp_taps: bool = True):
     assert blk_pad % 128 == 0
     assert 0 < k <= 63, k         # tap flat-shifts assume 2k+1 < 128
     n_out = 16 if has_pilot else 8
@@ -506,7 +512,8 @@ def _build_call_hbm(blk_pad: int, k: int, has_pilot: bool,
                 alphap_r[row] if has_pilot else None,
                 rows=rows, k=k, has_pilot=has_pilot, pilot_rot=pilot_rot,
                 wp2i=wp2i, pilot2_rot=pilot2_rot,
-                pilot_w1=pilot_w1, pilot_w2=pilot_w2)
+                pilot_w1=pilot_w1, pilot_w2=pilot_w2,
+                interp_taps=interp_taps)
             sums = sums + [jnp.float32(0.0)] * (n_out - len(sums))
             vals = jnp.concatenate([v.reshape(1, 1) for v in sums],
                                    axis=1)
@@ -558,7 +565,8 @@ def correlate_bank_hbm(q, wrow, qt, rt, alpha, remc, shi, slo, bsz,
                        *, k: int, blk_pad: int, qp=None, rp=None,
                        alpha_p=None, pilot_rot: int = 1,
                        pilot2_rot: int = 2, pilot_w1: float = 1.0,
-                       pilot_w2: float = 0.0, interpret: bool = False):
+                       pilot_w2: float = 0.0, interp_taps: bool = True,
+                       interpret: bool = False):
     """Correlator sums with in-kernel aligned window fetch from HBM.
 
     q: [C] i32 record row (ALIGN=512-sample unit) of each channel's
@@ -581,7 +589,8 @@ def correlate_bank_hbm(q, wrow, qt, rt, alpha, remc, shi, slo, bsz,
     call = _build_call_hbm(int(blk_pad), int(k), wp4 is not None,
                            int(pilot_rot), bool(interpret),
                            wp24 is not None, int(pilot2_rot),
-                           float(pilot_w1), float(pilot_w2))
+                           float(pilot_w1), float(pilot_w2),
+                           bool(interp_taps))
     if alpha_p is None:
         alpha_p = alpha
     if qp is None:

@@ -100,6 +100,9 @@ class TrackParams:
     pilot_w2: float = 0.0       # the ROTATED bank sums — the reference's
                                 # -sqrt(4/33)*p61 + sqrt(29/33)*(-j*p11)
                                 # combine (WB_tracking.m:364-369)
+    interp_taps: bool = True    # sub-sample replica interpolation; False
+                                # = nearest-sample taps (the reference's
+                                # ceil-index fidelity, tracking.m:252-270)
 
 
 class ChannelState(NamedTuple):
@@ -264,6 +267,8 @@ def _epoch_one_channel(samples_iq, sb_start, end_sample, code_table,
 
         def repl(d):
             a = jax.lax.slice(win, (d,), (d + p.blk,)).astype(jnp.float32)
+            if not p.interp_taps:
+                return a                 # nearest-sample (reference parity)
             b = jax.lax.slice(win, (d + 1,),
                               (d + 1 + p.blk,)).astype(jnp.float32)
             return a + alpha * (b - a)   # sub-sample phase interpolation
@@ -346,6 +351,8 @@ def _epoch_one_channel(samples_iq, sb_start, end_sample, code_table,
                 def prepl(d):
                     a = jax.lax.slice(pwin, (d,),
                                       (d + p.blk,)).astype(jnp.float32)
+                    if not p.interp_taps:
+                        return a
                     b = jax.lax.slice(pwin, (d + 1,),
                                       (d + 1 + p.blk,)).astype(
                                           jnp.float32)
@@ -592,7 +599,8 @@ def _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start, end_sample,
             code_tables, wp_tab, wp2_tab, k=k, blk_pad=blk_pad,
             qp=qp, rp=rp, alpha_p=palpha, pilot_rot=p.pilot_rot,
             pilot2_rot=p.pilot2_rot, pilot_w1=p.pilot_w1,
-            pilot_w2=p.pilot_w2, interpret=p.pallas_interpret)
+            pilot_w2=p.pilot_w2, interp_taps=p.interp_taps,
+            interpret=p.pallas_interpret)
     else:
         # i64 window offsets: the flat time-parallel path spans the whole
         # record with sb_start=0, so int32 would overflow past ~115 s at
@@ -619,6 +627,7 @@ def _epoch_bank_pallas(sig_i_all, sig_q_all, sb_start, end_sample,
                              k=k, pilot_rot=p.pilot_rot,
                              pilot2_rot=p.pilot2_rot,
                              pilot_w1=p.pilot_w1, pilot_w2=p.pilot_w2,
+                             interp_taps=p.interp_taps,
                              interpret=p.pallas_interpret)
     i_e, q_e, i_p, q_p, i_l, q_l = (out[:, j] for j in range(6))
     if p.has_pilot:
@@ -975,6 +984,7 @@ def make_track_params(cfg, sig: SignalDef) -> TrackParams:
         spacing=cfg.dll_correlator_spacing,
         tau1_code=t1c, tau2_code=t2c, tau1_carr=t1p, tau2_carr=t2p,
         pdi=cfg.int_time,
+        interp_taps=cfg.interp_taps,
         has_pilot=has_pilot,
         data_weight=wd, pilot_weight=wp,
         dll_data_weight=dll_wd, dll_pilot_weight=dll_wp,

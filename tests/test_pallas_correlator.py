@@ -83,3 +83,54 @@ def test_pallas_matches_xla(signal, fs, has_pilot, fetch_in_kernel):
         assert np.allclose(a, b, rtol=1e-6, atol=1e-4), (name, a, b)
     assert np.array_equal(np.asarray(st_x.abs_sample),
                           np.asarray(st_p.abs_sample))
+
+
+def test_nearest_tap_mode_parity_all_paths():
+    """interp_taps=False (the reference's own ceil-index fidelity,
+    tracking.m:252-270) must agree across the XLA epoch and both Mosaic
+    kernels, and still achieve code/carrier lock."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from cusdr_tpu import get_config
+    from cusdr_tpu.io.synth import SynthSV, quantize_iq_int8, synthesize_if
+    from cusdr_tpu.signals.defs import get_signal
+    from cusdr_tpu.tracking.engine import (build_replica_tables,
+                                           init_channel_state,
+                                           make_track_params,
+                                           track_superblock)
+
+    cfg = get_config("gps_l1ca", sampling_freq=2.048e6, if_freq=7000.0,
+                     interp_taps=False)
+    sig = get_signal("gps_l1ca")
+    params = make_track_params(cfg, sig)
+    assert not params.interp_taps
+    iq = quantize_iq_int8(synthesize_if(
+        cfg, sig,
+        [SynthSV(prn=7, code_phase=500.0, doppler_hz=1500.0,
+                 cn0_dbhz=48)], num_ms=30, seed=4))
+    chans = [(7, 8500.0, 500), (9, 6000.0, 77)]
+    dops = [c[1] - cfg.if_freq for c in chans]
+    ct, pt = build_replica_tables(cfg, sig, params, chans, dops)
+    st0 = init_channel_state(chans, sig.chip_rate_hz, dopplers=dops,
+                             carrier_freq_hz=sig.carrier_freq_hz)
+    sd = jnp.asarray(iq.view(np.uint16))
+    ctd, ptd = jnp.asarray(ct), jnp.asarray(pt)
+    res = {}
+    for name, p in [
+        ("xla", params),
+        ("vmem", dataclasses.replace(params, use_pallas=True,
+                                     fetch_in_kernel=False,
+                                     pallas_interpret=True)),
+        ("hbm", dataclasses.replace(params, use_pallas=True,
+                                    fetch_in_kernel=True,
+                                    pallas_interpret=True)),
+    ]:
+        _, out = track_superblock(sd, jnp.int64(0), ctd, ptd, st0, p, 20)
+        res[name] = np.asarray(out.i_p)
+    for k in ("vmem", "hbm"):
+        d = np.abs(res[k] - res["xla"]).max() / (np.abs(res["xla"]).max()
+                                                 + 1)
+        assert d < 2e-4, (k, d)
+    assert np.abs(res["xla"][5:, 0]).mean() > 500   # locked

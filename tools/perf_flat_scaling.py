@@ -35,7 +35,10 @@ from cusdr_tpu.parallel.timeblocks import _track_blocks_flat
 def main():
     cfg = get_config("gps_l1ca")
     sig = get_signal("gps_l1ca")
+    import dataclasses, os
     params = make_track_params(cfg, sig)
+    if os.environ.get("PFS_NEAREST"):
+        params = dataclasses.replace(params, interp_taps=False)
     spc = cfg.samples_per_code
     n_epochs = 10_000
     n_ch = cfg.num_channels
@@ -52,7 +55,9 @@ def main():
     samples_d = jnp.asarray(samples.view(np.uint16))
     jax.block_until_ready(samples_d)
 
-    for n_blocks in (50, 100, 200, 400, 500):
+    import os as _os
+    blist = (100,) if _os.environ.get("PFS_NEAREST") else (50, 100, 200, 400, 500)
+    for n_blocks in blist:
         epb = n_epochs // n_blocks
         starts = jnp.asarray(
             np.arange(n_blocks, dtype=np.int64) * (epb * spc))
