@@ -195,3 +195,44 @@ def test_acquisition_kernel_on_chip():
     assert acq.detected[i]
     err = abs(int(acq.code_phase[i]) - 777) % cfg.samples_per_code
     assert min(err, cfg.samples_per_code - err) <= 2
+
+
+def test_shardmap_timeblocks_with_fetch_kernel_on_chip():
+    """The shard_map time-block path keeps the in-kernel HBM fetch
+    enabled (unlike the vmapped fallback) — this pins that Mosaic
+    manual-DMA kernels compose with shard_map ON REAL HARDWARE, the
+    exact combination a multi-chip 'tb' mesh deploys.  A 1-device mesh
+    exercises the same partitioned program; values must match the flat
+    path."""
+    _require_tpu()
+    from jax.sharding import Mesh
+    from cusdr_tpu import get_config
+    from cusdr_tpu.io.synth import (SynthSV, quantize_iq_int8,
+                                    synthesize_if)
+    from cusdr_tpu.parallel.timeblocks import track_time_parallel
+    from cusdr_tpu.signals.defs import get_signal
+
+    cfg = get_config("gps_l1ca", sampling_freq=18e6, if_freq=20e3)
+    sig = get_signal("gps_l1ca")
+    rng = np.random.default_rng(0)
+    svs = [SynthSV(prn=7, code_phase=1234.0, doppler_hz=2500.0,
+                   cn0_dbhz=47,
+                   nav_bits=rng.choice(np.asarray([-1, 1], np.int8),
+                                       40)),
+           SynthSV(prn=13, code_phase=100.2, doppler_hz=-3200.0,
+                   cn0_dbhz=45,
+                   nav_bits=rng.choice(np.asarray([-1, 1], np.int8),
+                                       40))]
+    iq = quantize_iq_int8(synthesize_if(cfg, sig, svs, num_ms=450,
+                                        seed=3))
+    chans = [(7, 22500.0, 1234), (13, 16800.0, 101)]
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("tb",))
+    par = track_time_parallel(cfg, sig, iq, chans, n_epochs=400,
+                              n_blocks=4, mesh=mesh)
+    ref = track_time_parallel(cfg, sig, iq, chans, n_epochs=400,
+                              n_blocks=4, mesh=None)
+    for name in ("i_p", "q_p", "carr_freq", "abs_sample"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(par, name))
+        scale = np.abs(a).max() + 1.0
+        assert np.abs(a - b).max() / scale < 1e-4, name
